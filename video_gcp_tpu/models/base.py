@@ -1,0 +1,244 @@
+"""Shared GCP model core: encoding, length prediction, aux models, loss
+assembly (gcp/prediction/models/base_gcp.py:29-375, functional form).
+
+The reference's runtime mode switches (`val_mode` context manager flipping all
+ProbabilisticModel children to prior sampling, base_gcp.py:44-53) become
+explicit `mode` / `pred_length` arguments threaded through `__call__`:
+mode='posterior' (training), 'prior' (validation / planning sampling). RNGs are
+flax streams: 'sample' for latent draws.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from video_gcp_tpu.core.attrdict import AttrDict
+from video_gcp_tpu.core.losses import LossTerm, l2_loss, total_loss
+from video_gcp_tpu.core.schedules import kl_weight_at
+from video_gcp_tpu.models.aux_models import (
+    CostModel,
+    InverseModel,
+    LengthPredictor,
+    StateRegressor,
+)
+from video_gcp_tpu.models.nets import (
+    MLP,
+    ConvDecoder,
+    ConvEncoder,
+    GaussianLogSigma,
+    build_seq_encoder,
+)
+
+Array = jnp.ndarray
+
+
+class MLPEncoder(nn.Module):
+    """State-space encoder for use_convs=False models."""
+
+    hp: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array):
+        hp = self.hp
+        e = MLP(hp["nz_enc"], hp["nz_mid"], hp["n_processing_layers"], self.dtype)(x)
+        return e, None
+
+
+class MLPDecoder(nn.Module):
+    """State-space decoder for use_convs=False models."""
+
+    hp: dict
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, e: Array, skips=None) -> Array:
+        hp = self.hp
+        return MLP(hp["input_nc"], hp["nz_mid"], hp["n_processing_layers"],
+                   self.dtype)(e)
+
+
+class BaseGCPModel(nn.Module):
+    """Common setup + helpers; subclasses implement setup()/predict_sequence."""
+
+    hp: dict
+    dtype: Any = jnp.float32
+
+    # ----- shared construction ------------------------------------------------
+
+    def setup_core(self):
+        hp = self.hp
+        if hp["use_convs"]:
+            self.encoder = ConvEncoder(hp, dtype=self.dtype)
+            self.decoder = ConvDecoder(hp, dtype=self.dtype)
+        else:
+            self.encoder = MLPEncoder(hp, dtype=self.dtype)
+            self.decoder = MLPDecoder(hp, dtype=self.dtype)
+        self.log_sigma_mod = GaussianLogSigma(hp)
+
+        self.inf_encoder = build_seq_encoder(hp, self.dtype)  # may be None
+        self.inf_key_encoder = build_seq_encoder(hp, self.dtype)
+
+        if hp["regress_length"]:
+            self.length_pred = LengthPredictor(hp, dtype=self.dtype)
+        if hp["attach_inv_mdl"]:
+            inv_p = dict(nz_mid=hp["nz_mid"], n_processing_layers=hp["n_processing_layers"])
+            inv_p.update(hp["inv_mdl_params"])
+            self.inv_mdl = InverseModel(inv_p, dtype=self.dtype)
+        if hp["attach_cost_mdl"]:
+            cost_p = dict(nz_mid=hp["nz_mid"], n_processing_layers=hp["n_processing_layers"])
+            cost_p.update({k: v for k, v in hp["cost_mdl_params"].items()
+                           if not callable(v)})
+            self.cost_mdl = CostModel(cost_p, dtype=self.dtype)
+        if hp["attach_state_regressor"]:
+            self.state_regressor = StateRegressor(hp, dtype=self.dtype)
+        if hp["action_conditioned_pred"]:
+            self.action_encoder = MLP(hp["nz_enc"], hp["nz_mid"],
+                                      hp["n_processing_layers"], self.dtype)
+
+    # ----- shared forward pieces ---------------------------------------------
+
+    def preprocess_inputs(self, inputs: AttrDict) -> AttrDict:
+        """non_goal_conditioned zeroing (base_gcp.py:163-175)."""
+        hp = self.hp
+        inputs = inputs.copy()
+        if hp["non_goal_conditioned"]:
+            if "traj_seq" in inputs:
+                b = inputs.traj_seq.shape[0]
+                zero_goal = inputs.traj_seq.at[jnp.arange(b), inputs.end_ind].set(0.0)
+                inputs.traj_seq = zero_goal
+            inputs.I_g = jnp.zeros_like(inputs.I_g)
+        if "start_ind" not in inputs:
+            inputs.start_ind = jnp.zeros_like(inputs.end_ind)
+        return inputs
+
+    def run_encoder(self, inputs: AttrDict) -> AttrDict:
+        """Encode the sequence + start/goal frames (base_gcp.py:184-213)."""
+        hp = self.hp
+        if "traj_seq" in inputs and "enc_traj_seq" not in inputs:
+            seq = inputs.traj_seq
+            b, t = seq.shape[:2]
+            flat = seq.reshape((b * t,) + seq.shape[2:])
+            enc, _ = self.encoder(flat)
+            inputs.enc_traj_seq = enc.reshape(b, t, -1)
+        if "enc_traj_seq" in inputs:
+            if self.inf_encoder is not None:
+                inputs.inf_enc_seq = self.inf_encoder(inputs.enc_traj_seq)
+            else:
+                inputs.inf_enc_seq = inputs.enc_traj_seq
+            if self.inf_key_encoder is not None:
+                inputs.inf_enc_key_seq = self.inf_key_encoder(inputs.enc_traj_seq)
+            else:
+                inputs.inf_enc_key_seq = inputs.enc_traj_seq
+
+        e_0, skips = self.encoder(inputs.I_0)
+        inputs.e_0 = e_0
+        inputs.skips = skips
+        inputs.e_g = self.encoder(inputs.I_g)[0]
+
+        if hp["action_conditioned_pred"] and "actions" in inputs:
+            inputs.enc_action_seq = self.action_encoder(inputs.actions)
+        return inputs
+
+    def get_end_ind(self, inputs: AttrDict, outputs: AttrDict,
+                    pred_length: bool, rng) -> Array:
+        """Optionally predict sequence length (base_gcp.py:215-229)."""
+        hp = self.hp
+        end_ind = inputs.get("end_ind", None)
+        if hp["regress_length"]:
+            outputs.update(self.length_pred(inputs.e_0, inputs.e_g, rng))
+            if pred_length and (hp["length_pred_weight"] > 0 or end_ind is None):
+                end_ind = outputs.end_ind_pred
+                if hp["action_conditioned_pred"] or hp["non_goal_conditioned"]:
+                    end_ind = jnp.full_like(end_ind, hp["max_seq_len"] - 1)
+        outputs.end_ind = end_ind
+        return end_ind
+
+    def decode_seq(self, e_seq: Array, skips) -> Array:
+        """Decode a [B, N, nz_enc] latent sequence to frames, folding the node
+        axis into batch so XLA sees one big conv (base_gcp design stance)."""
+        b, n = e_seq.shape[:2]
+        flat = e_seq.reshape(b * n, -1)
+        out = self.decoder(flat, skips)
+        return out.reshape((b, n) + out.shape[1:])
+
+    def log_sigma(self) -> Array:
+        return self.log_sigma_mod()
+
+    # ----- aux models ---------------------------------------------------------
+
+    def run_aux_models(self, inputs: AttrDict, outputs: AttrDict, phase: str,
+                       rng) -> AttrDict:
+        """Inverse/cost/state-regressor on the matched latent timeline
+        (base_gcp.py:234-262).
+
+        The reference builds ragged pruned sequences; we use the fixed [B, T]
+        matched latent timeline (per-frame argmax node latent or the dense VRNN
+        latents), with pad-mask weighting standing in for raggedness.
+        """
+        hp = self.hp
+        aux = AttrDict()
+        if "model_enc_seq" not in inputs:
+            return aux
+        enc_seq = inputs.model_enc_seq  # [B, T, D]
+
+        if hp["attach_inv_mdl"] and phase == "train":
+            detached = jax.lax.stop_gradient(enc_seq)
+            aux.actions = self.inv_mdl(detached[:, :-1], detached[:, 1:])
+        if hp["attach_state_regressor"]:
+            aux.regressed_state = self.state_regressor(
+                jax.lax.stop_gradient(enc_seq)
+            )
+        if hp["attach_cost_mdl"] and hp["run_cost_mdl"] and phase == "train":
+            start, end, gt_cost = CostModel.sample_targets(
+                rng, enc_seq, inputs.traj_seq, inputs.end_ind
+            )
+            aux.cost = self.cost_mdl(start, end)
+            aux.cost_target = gt_cost
+        return aux
+
+    # ----- losses -------------------------------------------------------------
+
+    def aux_losses(self, inputs: AttrDict, outputs: AttrDict) -> AttrDict:
+        hp = self.hp
+        losses = AttrDict()
+        if hp["regress_length"] and "seq_len_logits" in outputs:
+            losses.update(
+                LengthPredictor.loss(outputs, inputs.end_ind,
+                                     hp["length_pred_weight"])
+            )
+        if "actions" in outputs and "actions" in inputs:
+            losses.update(
+                InverseModel.loss(outputs.actions, inputs.actions,
+                                  inputs.pad_mask)
+            )
+        if "cost" in outputs:
+            losses.update(CostModel.loss(outputs.cost, outputs.cost_target))
+        if "regressed_state" in outputs and "traj_seq_states" in inputs:
+            reg_len = outputs.regressed_state.shape[1]
+            losses.state_regression = l2_loss(
+                outputs.regressed_state,
+                inputs.traj_seq_states[:, :reg_len],
+                weights=inputs.pad_mask[:, :reg_len, None],
+            )
+        return losses
+
+    def kl_weight(self, step) -> Array:
+        return kl_weight_at(step, self.hp["kl_weight"],
+                            self.hp.get("kl_weight_burn_in", None))
+
+    def assemble_total(self, inputs: AttrDict, losses: AttrDict) -> AttrDict:
+        """total = sum(w*v) / prod(traj_seq.shape[1:]) (base_gcp.py:294-304);
+        nll = img_rec + kl logged at weight 0 (base_gcp.py:289-290)."""
+        if "dense_img_rec" in losses and "kl" in losses:
+            losses.nll = LossTerm(
+                value=losses.dense_img_rec.value + losses.kl.value, weight=0.0
+            )
+        numel = 1
+        for s in inputs.traj_seq.shape[1:]:
+            numel *= s
+        losses.total = LossTerm(value=total_loss(losses, numel), weight=0.0)
+        return losses
