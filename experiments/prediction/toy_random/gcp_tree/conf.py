@@ -1,0 +1,36 @@
+"""CPU-runnable micro-config on the synthetic RandomVideoDataset
+(SURVEY.md §4 test plan (b, c): end-to-end micro-train fixture)."""
+from video_gcp_tpu.core.attrdict import AttrDict
+from experiments.prediction.base_configs import gcp_tree as base_conf
+from video_gcp_tpu.data.datasets import RandomVideoDataset
+
+configuration = AttrDict(base_conf.configuration)
+configuration.update({
+    'dataset_name': None,
+    'batch_size': 4,
+    'lr': 1e-3,
+    'num_epochs': 3,
+    'metric_pruning_scheme': 'basic',
+})
+
+data_config = AttrDict(
+    dataset_spec=AttrDict(
+        max_seq_len=16,
+        dataset_class=RandomVideoDataset,
+        state_dim=2,
+        n_actions=2,
+    ),
+)
+
+model_config = AttrDict(base_conf.model_config)
+model_config.update({
+    'hierarchy_levels': 4,
+    'img_sz': 16,
+    'ngf': 8,
+    'nz_mid_lstm': 64,
+    'nz_vae': 16,
+    'regress_length': True,
+    'attach_state_regressor': True,
+    'attach_inv_mdl': True,
+    'inv_mdl_params': AttrDict(n_actions=2),
+})

@@ -1,0 +1,8 @@
+from video_gcp_tpu.data.datasets import (
+    FolderSplitVarLenVideoDataset,
+    GlobalSplitVarLenVideoDataset,
+    MazeGlobalSplitVarLenVideoDataset,
+    RandomVideoDataset,
+    VarLenVideoDataset,
+)
+from video_gcp_tpu.data.loader import DataLoader

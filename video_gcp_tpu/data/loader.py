@@ -1,0 +1,89 @@
+"""Batched host->device input pipeline.
+
+Replaces the reference's torch DataLoader with 4 worker processes +
+pin_memory (data_loader.py:83-88) with a TPU-idiomatic pipeline: a thread pool
+assembles numpy batches ahead of time (h5py/numpy release the GIL) and a
+double-buffered prefetcher overlaps `jax.device_put` with compute
+(SURVEY.md §2.14 TPU-native mapping). Supports `n_repeat` epochs per iterator
+(blox RepeatedDataLoader) and sharded device_put for data-parallel meshes.
+"""
+from __future__ import annotations
+
+import collections
+import concurrent.futures
+import itertools
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from video_gcp_tpu.core.attrdict import AttrDict
+
+
+def _stack_batch(examples) -> AttrDict:
+    out = AttrDict()
+    for k in examples[0]:
+        vals = [np.asarray(ex[k]) for ex in examples]
+        out[k] = np.stack(vals, 0)
+    return out
+
+
+class DataLoader:
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 n_repeat: int = 1, drop_last: bool = True,
+                 num_workers: int = 4, seed: int = 0,
+                 sharding: Optional[jax.sharding.Sharding] = None,
+                 prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.n_repeat = n_repeat
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.seed = seed
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) * self.n_repeat
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _index_stream(self):
+        rng = np.random.RandomState(self.seed + self._epoch)
+        for _ in range(self.n_repeat):
+            idx = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(idx)
+            yield from idx
+        self._epoch += 1
+
+    def __iter__(self) -> Iterator[AttrDict]:
+        stream = self._index_stream()
+
+        def batches_np():
+            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
+                while True:
+                    idx = list(itertools.islice(stream, self.batch_size))
+                    if len(idx) < self.batch_size and (self.drop_last or not idx):
+                        return
+                    examples = list(pool.map(self.dataset.__getitem__, idx))
+                    yield _stack_batch(examples)
+
+        # double-buffered device prefetch
+        queue = collections.deque()
+        it = batches_np()
+
+        def put(batch_np):
+            if self.sharding is not None:
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, self.sharding), batch_np
+                )
+            return jax.tree_util.tree_map(jax.device_put, batch_np)
+
+        for batch in it:
+            queue.append(put(batch))
+            if len(queue) > self.prefetch:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()

@@ -1,0 +1,158 @@
+"""CEM cost functions (reference: gcp/planning/cem/cost_fcn.py:9-117).
+
+CostFcns score CEM rollouts: dense (summed per-step) or final-step cost, with
+a final-step weight. Rollouts arrive as lists of [T_i, D] numpy arrays from
+the planner (variable plan lengths are a host-side concern; the batched model
+evaluations behind LearnedCostEstimate run on device).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from video_gcp_tpu.core.attrdict import AttrDict
+from video_gcp_tpu.core.attrdict import listdict2dictlist
+
+
+class CostFcn:
+    """Base class to define CEM cost functions."""
+
+    def __init__(self, dense_cost, final_step_weight=1.0, *unused_args):
+        self._dense_cost = dense_cost
+        self._final_step_weight = final_step_weight
+
+    def __call__(self, cem_outputs, goal):
+        cost_per_step = self._compute(cem_outputs, goal)
+        for i in range(len(cost_per_step)):
+            cost_per_step[i][-1] *= self._final_step_weight
+        if self._dense_cost:
+            return np.array([np.sum(c) for c in cost_per_step])
+        return np.array([c[-1] for c in cost_per_step])
+
+    def _compute(self, cem_outputs, goal):
+        raise NotImplementedError
+
+
+class ImageCost:
+    """Splits flattened image+latent rollouts (NHWC images)."""
+
+    def _split_state_rollout(self, rollouts):
+        def reshape_to_image(flat):
+            assert flat.ndim == 2
+            res = int(np.sqrt(flat.shape[1] / 3))
+            return flat.reshape(flat.shape[0], res, res, 3)
+
+        return listdict2dictlist(
+            [
+                AttrDict(
+                    image_rollout=reshape_to_image(r[..., : -self.input_dim]),
+                    latent_rollout=r[..., -self.input_dim:],
+                )
+                for r in rollouts
+            ]
+        )
+
+
+class EuclideanDistance(CostFcn):
+    """Euclidean distance between vals and goal."""
+
+    def _compute(self, cem_outputs, goal):
+        return [
+            np.linalg.norm(out - goal[None], axis=-1) for out in cem_outputs
+        ]
+
+
+class EuclideanPathLength(CostFcn):
+    """Euclidean length of the whole path to the goal."""
+
+    def _compute(self, cem_outputs, goal):
+        assert self._dense_cost, "path length needs dense cost"
+        return [
+            np.linalg.norm(
+                np.concatenate([out[1:], goal[None]]) - out, axis=-1
+            )
+            for out in cem_outputs
+        ]
+
+    @staticmethod
+    def gt_path_cost(seq, goal):
+        """GT cost used by the cost-model trainer: cumulative path length."""
+        path = np.concatenate([seq, goal[None]], 0)
+        return float(np.linalg.norm(np.diff(path, axis=0), axis=-1).sum())
+
+    def __init__(self, dense_cost=True, final_step_weight=1.0, *unused):
+        super().__init__(dense_cost, final_step_weight)
+
+
+class StepPathLength(CostFcn):
+    """Cost equals the number of steps in the path."""
+
+    def _compute(self, cem_outputs, goal):
+        return [
+            np.concatenate(
+                [np.zeros(out.shape[0] - 1), np.array([float(out.shape[0])])]
+            )
+            for out in cem_outputs
+        ]
+
+
+class L2ImageCost(CostFcn, ImageCost):
+    """L2 distance in image space."""
+
+    LATENT_SIZE = 128
+
+    def _compute(self, cem_outputs, goal_raw):
+        image_sequences = self._split_state_rollout(cem_outputs).image_rollout
+        goal = goal_raw * 2.0 - 1.0  # [1, H, W, C] raw in [0, 1]
+        return [
+            np.sqrt(np.sum((seq - goal) ** 2, axis=(1, 2, 3)))
+            for seq in image_sequences
+        ]
+
+    @property
+    def input_dim(self):
+        return self.LATENT_SIZE
+
+
+class LearnedCostEstimate:
+    """Learned cost network between latent states (TestTimeCostModel wrap).
+
+    :param config: dict with `model_fn(enc1, enc2) -> cost` — a callable
+        closing over restored cost-model params (built by the planner policy
+        from a checkpoint, see planning.planner_policy).
+    """
+
+    def __init__(self, config):
+        self.net = config["model_fn"]
+        self._input_dim = config.get("input_dim", 128)
+
+    def __call__(self, start_enc, goal_enc):
+        if isinstance(start_enc, np.ndarray):
+            return np.asarray(self.net(start_enc, goal_enc))[..., 0]
+        if isinstance(start_enc, list):
+            costs = []
+            for seq, goal in zip(start_enc, goal_enc):
+                seq_input = np.concatenate([seq, goal], 0)
+                per_step = np.asarray(
+                    self.net(seq_input[:-1], seq_input[1:])
+                )
+                costs.append(per_step.sum())
+            return np.array(costs)
+        raise ValueError("unsupported input type for learned cost")
+
+    @property
+    def input_dim(self):
+        return self._input_dim
+
+
+class ImageLearnedCostEstimate(LearnedCostEstimate, ImageCost):
+    pass
+
+
+class ImageWrappedLearnedCostFcn(LearnedCostEstimate, ImageCost):
+    """Unpacks image+latent rollouts, scores latents against the final latent
+    (goal-conditioned prediction, cost_fcn.py:108-117)."""
+
+    def __call__(self, start_enc, goal_enc):
+        start_enc = self._split_state_rollout(start_enc).latent_rollout
+        goal_enc = [s[-1] for s in start_enc]
+        return LearnedCostEstimate.__call__(self, start_enc, goal_enc)

@@ -1,0 +1,339 @@
+"""Training driver: epoch loop, validation, checkpointing, resume.
+
+Rebuilds gcp/prediction/train.py:23-239 + gcp_builder.py TPU-first: the
+per-batch work is one jitted sharded train step (parallel.train_step); the
+host loop only feeds prefetched batches and logs. Validation computes the NLL
+with the train-mode posterior (train.py:211-215) plus image metrics
+(PSNR/SSIM/MSE) on prior samples; the full top-of-100 protocol lives in
+video_gcp_tpu.evaluation.
+
+CLI (subset of gcp_builder.get_cmd_args):
+    python -m video_gcp_tpu.training.train --path <conf_dir> [--resume latest]
+        [--train 1] [--deterministic 0] [--val_data_size -1] [--debug 0]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_gcp_tpu.core.attrdict import AttrDict
+from video_gcp_tpu.core.metrics import mse, psnr, ssim
+from video_gcp_tpu.data.loader import DataLoader
+from video_gcp_tpu.parallel.mesh import batch_sharding, make_mesh
+from video_gcp_tpu.parallel.train_step import (
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    make_val_step,
+)
+from video_gcp_tpu.training import checkpoint as ckpt
+from video_gcp_tpu.training.config import (
+    get_dataset_path,
+    get_exp_dir,
+    load_config,
+)
+from video_gcp_tpu.training.logger import Logger
+
+
+class AverageMeter:
+    def __init__(self):
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, v):
+        self.sum += v
+        self.count += 1
+
+    @property
+    def avg(self):
+        return self.sum / max(self.count, 1)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--path", required=True)
+    p.add_argument("--prefix", default="")
+    p.add_argument("--new_dir", default=0, type=int)
+    p.add_argument("--resume", default="latest")
+    p.add_argument("--train", default=1, type=int)
+    p.add_argument("--metric", default=0, type=int)
+    p.add_argument("--val_sweep", default=0, type=int)
+    p.add_argument("--deterministic", default=0, type=int)
+    p.add_argument("--val_data_size", default=-1, type=int)
+    p.add_argument("--log_outputs_interval", default=10, type=int)
+    p.add_argument("--imepoch", default=4, type=int)
+    p.add_argument("--skip_first_val", default=0, type=int)
+    p.add_argument("--feed_random_data", default=0, type=int)
+    p.add_argument("--debug", default=0, type=int)
+    p.add_argument("--verbose_timing", default=0, type=int)
+    return p.parse_args(argv)
+
+
+class ModelTrainer:
+    def __init__(self, args):
+        self.args = args
+        bundle = load_config(args.path)
+        self.conf = bundle.configuration
+        self.model_config = AttrDict(bundle.model_config)
+        self.data_conf = bundle.data_conf
+
+        if args.deterministic:
+            np.random.seed(0)
+
+        # experiment dir
+        exp_name = bundle.exp_name
+        base = os.path.join(get_exp_dir(), exp_name)
+        if args.prefix:
+            base = os.path.join(base, args.prefix)
+        from video_gcp_tpu.training.config import datetime_str
+
+        if args.new_dir:
+            base = base + datetime_str()
+        self.exp_path = base
+        os.makedirs(self.exp_path, exist_ok=True)
+        ckpt.save_provenance(self.exp_path)
+        self.logger = Logger(os.path.join(self.exp_path, "events"))
+
+        # model hparams = defaults <- model_config <- data dims
+        from video_gcp_tpu.models.hyperparameters import default_hparams
+
+        hp = default_hparams()
+        mc = dict(self.model_config)
+        mc.setdefault("batch_size", self.conf["batch_size"])
+        model_cls = self.conf["model"]
+        mc.pop("dataset_class", None)
+        # strict override rule (base_trainer.py:9-14) for known keys
+        known = {k: v for k, v in mc.items() if k in hp}
+        unknown = {k: v for k, v in mc.items() if k not in hp}
+        hp.override(known)
+        hp.overwrite(unknown)
+        self.hp = hp
+        self.model = model_cls(hp=dict(hp))
+
+        # datasets
+        self.train_loader, self.val_loader = self._build_loaders()
+
+        # optimizer + train step
+        tx = make_optimizer(
+            self.conf["optimizer"], self.conf["lr"] or 1e-3,
+            self.conf["gradient_clip"], self.conf["momentum"],
+            self.conf["adam_beta"],
+        )
+        # data mesh over as many devices as evenly divide the global batch
+        n_dev = len(jax.devices())
+        bs = self.conf["batch_size"]
+        while n_dev > 1 and bs % n_dev != 0:
+            n_dev -= 1
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        self.rng = jax.random.PRNGKey(0 if args.deterministic else int(time.time()))
+
+        sample_batch = next(iter(self.train_loader))
+        init_rng = jax.random.PRNGKey(0)
+        params = jax.jit(
+            lambda b: self.model.init(
+                {"params": init_rng, "sample": init_rng}, b, "train", "posterior"
+            )
+        )(sample_batch)
+        self.state = TrainState.create(params, tx)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        print(f"model parameters: {n_params}")
+
+        self.train_step = make_train_step(self.model, self.mesh)
+        self.val_step = make_val_step(self.model)
+
+        # resume
+        self.start_epoch = 0
+        path = ckpt.resolve_resume(args.resume, self.exp_path)
+        if path is not None:
+            print(f"resuming from {path}")
+            self.state = ckpt.load_checkpoint(path, self.state)
+            import re
+
+            m = re.search(r"weights_ep(\d+)", path)
+            if m:
+                self.start_epoch = int(m.group(1)) + 1
+
+    # ------------------------------------------------------------------
+
+    def _build_loaders(self):
+        args = self.args
+        data_conf = self.data_conf
+        dataset_name = self.conf.get("dataset_name", None)
+        mpar = dict(self.hp)
+
+        if args.feed_random_data or dataset_name is None:
+            from video_gcp_tpu.data.datasets import RandomVideoDataset
+
+            train_set = RandomVideoDataset(None, mpar, data_conf, "train",
+                                           dataset_size=256)
+            val_set = RandomVideoDataset(None, mpar, data_conf, "val",
+                                         dataset_size=32)
+        else:
+            from video_gcp_tpu.training.config import download_data
+
+            download_data(dataset_name)
+            data_dir = get_dataset_path(dataset_name)
+            dset_cls = self._dataset_class()
+            train_set = dset_cls(data_dir, mpar, data_conf, "train")
+            val_set = dset_cls(
+                data_dir, mpar, data_conf, "val",
+                shuffle=False, dataset_size=args.val_data_size,
+            )
+
+        sharding = batch_sharding(self.mesh) if getattr(self, "mesh", None) else None
+        bs = self.conf["batch_size"]
+        train_loader = DataLoader(
+            train_set, bs, shuffle=True,
+            n_repeat=self.conf["epoch_cycles_train"], sharding=sharding,
+        )
+        val_loader = DataLoader(val_set, bs, shuffle=False, sharding=sharding)
+        return train_loader, val_loader
+
+    def _dataset_class(self):
+        spec_cls = self.data_conf.dataset_spec.get("dataset_class", None)
+        if spec_cls is not None and not isinstance(spec_cls, str):
+            return spec_cls
+        from video_gcp_tpu.data.datasets import GlobalSplitVarLenVideoDataset
+
+        return GlobalSplitVarLenVideoDataset
+
+    # ------------------------------------------------------------------
+
+    def run(self):
+        args = self.args
+        if args.val_sweep:
+            for epoch in ckpt.get_epochs(self.exp_path):
+                path = os.path.join(ckpt.weights_dir(self.exp_path),
+                                    ckpt.ckpt_name(epoch))
+                self.state = ckpt.load_checkpoint(path, self.state)
+                self.val(epoch)
+            return
+        if not args.train:
+            self.val(self.start_epoch)
+            return
+        for epoch in range(self.start_epoch, self.conf["num_epochs"]):
+            self.train_epoch(epoch)
+            ckpt.save_checkpoint(self.exp_path, epoch, self.state)
+            if not (epoch == 0 and args.skip_first_val):
+                self.val(epoch)
+
+    def train_epoch(self, epoch: int):
+        meters = AttrDict(data=AverageMeter(), step=AverageMeter())
+        log_interval = self.args.log_outputs_interval
+        n_batches = len(self.train_loader)
+        t0 = time.time()
+        epoch_rng = jax.random.fold_in(self.rng, epoch)
+        for i, batch in enumerate(self.train_loader):
+            t1 = time.time()
+            meters.data.update(t1 - t0)
+            self.state, metrics = self.train_step(self.state, batch, epoch_rng)
+            if i % log_interval == 0:
+                metrics = jax.device_get(metrics)
+                step = int(self.state.step)
+                self.logger.log_scalar_dict(
+                    {k + "_loss": v for k, v in metrics.items()}, step, "train"
+                )
+                if not bool(metrics.get("grads_finite", True)):
+                    self._dump_debug_data(batch, metrics, step)
+                t2 = time.time()
+                meters.step.update(t2 - t1)
+                togo = (n_batches - i) * (meters.data.avg + meters.step.avg) / 60
+                print(
+                    f"epoch {epoch} it {i}/{n_batches} "
+                    f"total: {metrics.get('total', float('nan')):.4f} "
+                    f"t_data {meters.data.avg:.3f}s t_step {meters.step.avg:.3f}s "
+                    f"ETA {togo:.1f}min"
+                )
+            else:
+                meters.step.update(time.time() - t1)
+            t0 = time.time()
+
+    def val(self, epoch: int):
+        losses_acc = {}
+        img_metrics = {"psnr": [], "ssim": [], "mse": []}
+        val_rng = jax.random.fold_in(self.rng, 10_000 + epoch)
+        n = 0
+        t0 = time.time()
+        for batch in self.val_loader:
+            # NLL with train-mode posterior (train.py:211-215)
+            losses = jax.device_get(self.val_step(self.state, batch, val_rng))
+            for k, v in losses.items():
+                losses_acc.setdefault(k, []).append(float(v))
+            n += 1
+            if n == 1:
+                self._quick_image_metrics(batch, val_rng, img_metrics)
+        step = int(self.state.step)
+        for k, vals in losses_acc.items():
+            self.logger.log_scalar(np.mean(vals), k + "_loss", step, "val")
+        for k, vals in img_metrics.items():
+            if vals:
+                self.logger.log_scalar(np.mean(vals), k, step, "val")
+        print(
+            f"[val] epoch {epoch} "
+            + " ".join(f"{k}: {np.mean(v):.4f}" for k, v in losses_acc.items())
+            + (f" | psnr {np.mean(img_metrics['psnr']):.2f}"
+               if img_metrics["psnr"] else "")
+            + f" ({time.time() - t0:.1f}s)"
+        )
+        self.logger.flush()
+
+    def _quick_image_metrics(self, batch, rng, acc):
+        """Prior-sample PSNR/SSIM/MSE on one val batch (cheap stand-in for the
+        full top-of-100 evaluator, which lives in evaluation/)."""
+        out = jax.jit(
+            lambda p, b: self.model.apply(
+                p, b, "test", "prior", rngs={"sample": rng}
+            )
+        )(self.state.params, batch)
+        pred = self._dense_prediction(out, batch)
+        if pred is None:
+            return
+        mask = np.asarray(batch.pad_mask)
+        p = np.asarray(psnr(pred, batch.traj_seq))
+        s = np.asarray(ssim(pred, batch.traj_seq))
+        m = np.asarray(mse(pred, batch.traj_seq))
+        denom = mask.sum()
+        acc["psnr"].append((p * mask).sum() / denom)
+        acc["ssim"].append((s * mask).sum() / denom)
+        acc["mse"].append((m * mask).sum() / denom)
+
+    def _dense_prediction(self, out, batch):
+        """Dense [B, T, ...] prediction for metric computation."""
+        if "dense_rec" in out:  # sequential
+            return out.dense_rec.images[:, : batch.traj_seq.shape[1]]
+        if "tree" in out:  # tree: warp df-ordered nodes onto GT timeline
+            from video_gcp_tpu.ops.dtw import dtw_warp_sequence
+            from video_gcp_tpu.ops.tree_index import breadthfirst2depthfirst
+
+            nodes_df = breadthfirst2depthfirst(out.tree.images)
+            warped, _ = dtw_warp_sequence(nodes_df, batch.traj_seq,
+                                          batch.end_ind)
+            return warped
+        return None
+
+    def _dump_debug_data(self, batch, metrics, step):
+        """Non-finite grads: dump the batch + metrics for offline debugging
+        (the reference's NaN hook dumps a pickle, base_trainer.py:40-66)."""
+        import pickle
+
+        path = os.path.join(self.exp_path, f"debug_nan_step{step}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(
+                dict(batch=jax.device_get(batch), metrics=metrics), f
+            )
+        print(f"WARNING: non-finite gradients at step {step}; dumped {path}")
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    ModelTrainer(args).run()
+
+
+if __name__ == "__main__":
+    main()
