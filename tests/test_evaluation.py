@@ -1,0 +1,140 @@
+"""Evaluator protocol tests: top-of-N selection, eval bindings, dumps, FVD/LPIPS."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_gcp_tpu.core import AttrDict
+
+
+class TestEvalBindings:
+    def _tree_outputs(self, b=2, depth=3, t=8, img=8):
+        rng = np.random.RandomState(0)
+        n = 2 ** depth - 1
+        outputs = AttrDict(
+            tree=AttrDict(
+                images=jnp.asarray(rng.rand(b, n, img, img, 3).astype(np.float32))
+            ),
+            end_ind=jnp.array([t - 1, t - 3]),
+            prune_keep=jnp.asarray(rng.rand(b, n) > 0.3),
+        )
+        inputs = AttrDict(
+            traj_seq=jnp.asarray(rng.rand(b, t, img, img, 3).astype(np.float32)),
+            end_ind=outputs.end_ind,
+        )
+        return outputs, inputs
+
+    @pytest.mark.parametrize("scheme", ["dtw", "basic", "pruned_dtw"])
+    def test_tree_schemes_shapes(self, scheme):
+        from video_gcp_tpu.evaluation.eval_binding import tree_dense_sample
+
+        outputs, inputs = self._tree_outputs()
+        gen = tree_dense_sample(outputs, inputs, scheme, 8)
+        assert gen.shape == inputs.traj_seq.shape
+
+    def test_basic_scheme_picks_matched_nodes(self):
+        """With end=T-1 and a deep-enough tree, each frame gets the node whose
+        balanced timestep truncates to it."""
+        from video_gcp_tpu.evaluation.eval_binding import tree_dense_sample
+        from video_gcp_tpu.models.binding import balanced_match_dists
+
+        outputs, inputs = self._tree_outputs(b=1, depth=4, t=8)
+        gen = tree_dense_sample(outputs, inputs, "basic", 8)
+        w = balanced_match_dists(4, inputs.end_ind[:1], 8)
+        for t in range(8):
+            col = np.array(w[0, :, t])
+            if col.sum() > 0:
+                node = col.argmax()
+                np.testing.assert_allclose(
+                    np.array(gen[0, t]), np.array(outputs.tree.images[0, node])
+                )
+
+
+class TestEvaluatorProtocol:
+    def test_top_of_n_keeps_best(self, tmp_path):
+        """The evaluator must keep the best sample per example by mse."""
+        from video_gcp_tpu.evaluation.evaluator import Evaluator
+
+        b, t, img = 2, 6, 8
+        rng = np.random.RandomState(0)
+        traj = rng.rand(b, t, img, img, 3).astype(np.float32) * 2 - 1
+        inputs = AttrDict(
+            traj_seq=jnp.asarray(traj),
+            pad_mask=jnp.ones((b, t), jnp.float32),
+            end_ind=jnp.array([t - 1, t - 1]),
+            start_ind=jnp.zeros((b,), jnp.int32),
+        )
+
+        class FakeModel:
+            """Returns GT + noise scaled by the sample rng — sample quality
+            varies so top-of-N must pick the least-noisy one."""
+
+            def apply(self, params, inp, phase, mode, pred_length,
+                      rngs=None):
+                key = rngs["sample"]
+                scale = jax.random.uniform(key, ()) * 0.5
+                noise = jax.random.normal(key, inp.traj_seq.shape) * scale
+                return AttrDict(
+                    dense_rec=AttrDict(images=inp.traj_seq + noise)
+                )
+
+        ev = Evaluator(FakeModel(), str(tmp_path), {}, max_seq_len=t,
+                       pruning_scheme="basic", top_of_100=True)
+        ev._top_of = 10
+        result = ev.eval(None, inputs, jax.random.PRNGKey(0))
+        buf = result.metrics
+        best = buf.mse.min(axis=1)
+        # best_gen must correspond to the per-example min mse
+        assert np.all(buf.mse.min(axis=1) <= buf.mse.mean(axis=1))
+        summary = ev.dump_results(0)
+        np.testing.assert_allclose(summary["mse"], best.mean(), rtol=1e-5)
+        # dumps exist, channel-first layout
+        gen = np.load(os.path.join(str(tmp_path), "metrics", "gen_images_0.npy"))
+        assert gen.shape == (b, t - 1, 3, img, img)
+
+
+class TestFVDLPIPS:
+    def test_fvd_zero_for_identical(self, tmp_path):
+        from video_gcp_tpu.evaluation.fvd import compute_fvd
+
+        rng = np.random.RandomState(0)
+        seqs = rng.rand(8, 5, 3, 8, 8).astype(np.float32)
+        gt, gen = tmp_path / "gt.npy", tmp_path / "gen.npy"
+        np.save(gt, seqs)
+        np.save(gen, seqs)
+        assert abs(compute_fvd(str(gt), str(gen))) < 1e-3
+
+    def test_fvd_positive_for_different(self, tmp_path):
+        from video_gcp_tpu.evaluation.fvd import compute_fvd
+
+        rng = np.random.RandomState(0)
+        a = rng.rand(8, 5, 3, 8, 8).astype(np.float32)
+        b = rng.rand(8, 5, 3, 8, 8).astype(np.float32) * 0.2 - 0.9
+        np.save(tmp_path / "gt.npy", a)
+        np.save(tmp_path / "gen.npy", b)
+        assert compute_fvd(str(tmp_path / "gt.npy"),
+                           str(tmp_path / "gen.npy")) > 0.01
+
+    def test_lpips_ordering(self, tmp_path):
+        from video_gcp_tpu.evaluation.lpips import compute_lpips
+
+        rng = np.random.RandomState(0)
+        a = rng.rand(4, 5, 3, 8, 8).astype(np.float32)
+        near = a + rng.randn(*a.shape).astype(np.float32) * 0.01
+        far = rng.rand(4, 5, 3, 8, 8).astype(np.float32)
+        np.save(tmp_path / "gt.npy", a)
+        np.save(tmp_path / "near.npy", near)
+        np.save(tmp_path / "far.npy", far)
+        d_near = compute_lpips(str(tmp_path / "gt.npy"), str(tmp_path / "near.npy"))
+        d_far = compute_lpips(str(tmp_path / "gt.npy"), str(tmp_path / "far.npy"))
+        assert d_near < d_far
+
+    def test_black_frame_length_detection(self):
+        from video_gcp_tpu.evaluation.fvd import detect_lengths
+
+        seqs = np.zeros((2, 6, 3, 4, 4))
+        seqs[0, :4] = 1.0
+        seqs[1, :6] = 0.5
+        np.testing.assert_array_equal(detect_lengths(seqs), [4, 6])

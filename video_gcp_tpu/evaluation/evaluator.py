@@ -1,0 +1,202 @@
+"""Top-of-100 evaluation protocol, device-batched.
+
+Reference: gcp/evaluation/compute_metrics.py:49-393. The model is re-run
+`top_of` times per val batch with prior sampling; per sample, the prediction is
+aligned to the GT timeline via the configured pruning scheme, the first/last
+(conditioning) frames are cropped, PSNR/SSIM/MSE are computed, and the best
+sample per sequence (by `top_comp_metric`, default mse) is kept. Dumps:
+metrics txt (CSV line: best mean/std + per-sample std, compute_metrics.py:
+184-195), .npy sequence files in the reference's channel-first layout (so the
+reference FVD/LPIPS offline tools consume them unchanged), and gif strips.
+
+TPU design: each sample is ONE jitted batched forward + metric computation on
+device (the reference loops batch elements in Python and runs per-sequence
+Cython DTW); only per-sample scalars and the current best frames come back to
+host.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video_gcp_tpu.core.attrdict import AttrDict
+from video_gcp_tpu.core.metrics import mse, psnr, ssim
+from video_gcp_tpu.evaluation.eval_binding import dense_sample
+from video_gcp_tpu.ops.tree_index import breadthfirst2depthfirst
+
+LOWER_IS_BETTER = ["mse"]
+HIGHER_IS_BETTER = ["psnr", "ssim"]
+
+
+class Evaluator:
+    N_PLOTTED_ELEMENTS = 5
+
+    def __init__(self, model, logdir: str, hp, max_seq_len: int,
+                 pruning_scheme: str = "dtw", top_of_100: bool = True,
+                 top_comp_metric: str = "mse", use_images: bool = True):
+        self.model = model
+        self._logdir = os.path.join(logdir, "metrics")
+        os.makedirs(self._logdir, exist_ok=True)
+        self._pruning_scheme = pruning_scheme
+        self._top_of = 100 if top_of_100 else 1
+        self._metric = top_comp_metric
+        self._max_seq_len = max_seq_len
+        self._use_images = use_images
+        self.full_evaluation = None
+
+        scheme = pruning_scheme
+
+        def eval_sample(params, inputs, rng):
+            out = model.apply(params, inputs, "test", "prior", False,
+                              rngs={"sample": rng})
+            gen = dense_sample(out, inputs, scheme, max_seq_len)
+            t = inputs.traj_seq.shape[1]
+            t_idx = jnp.arange(t)[None, :]
+            # crop first and last (conditioning) frames; mask padded frames
+            valid = (
+                (t_idx >= 1)
+                & (t_idx <= inputs.end_ind[:, None] - 1)
+                & (inputs.pad_mask > 0)
+            )
+            denom = jnp.maximum(valid.sum(1), 1)
+            m = AttrDict()
+            m.mse = (mse(gen, inputs.traj_seq) * valid).sum(1) / denom
+            if use_images:
+                m.psnr = (psnr(gen, inputs.traj_seq) * valid).sum(1) / denom
+                m.ssim = (ssim(gen, inputs.traj_seq) * valid).sum(1) / denom
+            full_gen = (
+                breadthfirst2depthfirst(out.tree.images)
+                if "tree" in out else gen
+            )
+            return m, gen, full_gen
+
+        self._eval_sample = jax.jit(eval_sample)
+
+    # ------------------------------------------------------------------
+
+    def eval(self, params, inputs, rng) -> AttrDict:
+        """Run the protocol on one batch; returns per-example best metrics."""
+        b = inputs.traj_seq.shape[0]
+        n = self._top_of
+        buf = AttrDict(mse=np.full((b, n), np.inf))
+        if self._use_images:
+            buf.psnr = np.zeros((b, n))
+            buf.ssim = np.zeros((b, n))
+        best_val = None
+        best_gen = None
+        best_full = None
+        rand_seqs = []
+
+        for s in range(n):
+            m, gen, full_gen = self._eval_sample(
+                params, inputs, jax.random.fold_in(rng, s)
+            )
+            m = jax.device_get(m)
+            for k in buf:
+                buf[k][:, s] = m[k]
+            crit = m[self._metric]
+            if best_val is None:
+                better = np.ones(b, dtype=bool)
+            elif self._metric in LOWER_IS_BETTER:
+                better = crit < best_val
+            else:
+                better = crit > best_val
+            if better.any():
+                gen_np = np.array(jax.device_get(gen))
+                full_np = np.array(jax.device_get(full_gen))
+                if best_gen is None:
+                    best_gen, best_full = gen_np, full_np
+                    best_val = crit.copy()
+                else:
+                    best_gen[better] = gen_np[better]
+                    best_full[better] = full_np[better]
+                    best_val[better] = crit[better]
+            if s < self.N_PLOTTED_ELEMENTS:
+                rand_seqs.append(np.asarray(jax.device_get(gen)))
+
+        result = AttrDict(
+            metrics=buf,
+            best_gen=best_gen,
+            best_full=best_full,
+            gt_seq=np.asarray(jax.device_get(inputs.traj_seq)),
+            end_ind=np.asarray(jax.device_get(inputs.end_ind)),
+            rand_seqs=rand_seqs,
+        )
+        self._accumulate(result)
+        return result
+
+    def _accumulate(self, result):
+        if self.full_evaluation is None:
+            self.full_evaluation = AttrDict(
+                metrics=AttrDict({k: [v] for k, v in result.metrics.items()}),
+                best_gen=[result.best_gen],
+                best_full=[result.best_full],
+                gt_seq=[result.gt_seq],
+                rand_seqs=[result.rand_seqs],
+            )
+        else:
+            for k, v in result.metrics.items():
+                self.full_evaluation.metrics[k].append(v)
+            self.full_evaluation.best_gen.append(result.best_gen)
+            self.full_evaluation.best_full.append(result.best_full)
+            self.full_evaluation.gt_seq.append(result.gt_seq)
+            self.full_evaluation.rand_seqs.append(result.rand_seqs)
+
+    def reset(self):
+        self.full_evaluation = None
+
+    # ------------------------------------------------------------------
+
+    def dump_results(self, it: int) -> dict:
+        summary = self.dump_metrics(it)
+        if self._use_images:
+            self.dump_seqs(it)
+        self.reset()
+        return summary
+
+    def dump_metrics(self, it: int) -> dict:
+        """Best-sample mean/std + per-sample std, CSV line + txt file
+        (compute_metrics.py:184-195)."""
+        metrics = {
+            k: np.concatenate(v, 0)
+            for k, v in self.full_evaluation.metrics.items()
+        }
+        if self._metric in LOWER_IS_BETTER:
+            best_idx = np.argmin(metrics[self._metric], axis=1)
+        else:
+            best_idx = np.argmax(metrics[self._metric], axis=1)
+        print_st = []
+        summary = {}
+        lines = []
+        for name in sorted(metrics):
+            vals = metrics[name]
+            best = vals[np.arange(vals.shape[0]), best_idx]
+            print_st.extend([best.mean(), best.std(), vals.std(axis=1).mean()])
+            summary[name] = float(best.mean())
+            lines.append(
+                f"{name}: best_mean {best.mean():.6f} best_std {best.std():.6f} "
+                f"sample_std {vals.std(axis=1).mean():.6f}"
+            )
+        print(*print_st, sep=",")
+        with open(os.path.join(self._logdir, f"results_{it}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return summary
+
+    def dump_seqs(self, it: int):
+        """.npy dumps in the reference layout [B, T, C, H, W] (channel-first)
+        so compute_fvd / compute_lpips read them unchanged
+        (compute_metrics.py:199-226)."""
+        gt = np.concatenate(self.full_evaluation.gt_seq, 0)[:, 1:]
+        gen = np.concatenate(self.full_evaluation.best_gen, 0)[:, 1:]
+        full = np.concatenate(self.full_evaluation.best_full, 0)
+
+        def to_cf(x):
+            return np.transpose(x, (0, 1, 4, 2, 3))
+
+        np.save(os.path.join(self._logdir, f"gt_seq_{it}.npy"), to_cf(gt))
+        np.save(os.path.join(self._logdir, f"gen_images_{it}.npy"), to_cf(gen))
+        np.save(os.path.join(self._logdir, f"full_gen_seq_{it}.npy"), to_cf(full))

@@ -214,6 +214,9 @@ class ModelTrainer:
                 self.state = ckpt.load_checkpoint(path, self.state)
                 self.val(epoch)
             return
+        if args.metric:
+            self.run_metric_eval()
+            return
         if not args.train:
             self.val(self.start_epoch)
             return
@@ -222,6 +225,30 @@ class ModelTrainer:
             ckpt.save_checkpoint(self.exp_path, epoch, self.state)
             if not (epoch == 0 and args.skip_first_val):
                 self.val(epoch)
+
+    def run_metric_eval(self):
+        """Full top-of-100 metric evaluation on the val set (--metric 1;
+        reference train.py runs the Evaluator inside val when --metric)."""
+        from video_gcp_tpu.evaluation.evaluator import Evaluator
+
+        evaluator = Evaluator(
+            self.model,
+            self.exp_path,
+            self.conf,
+            max_seq_len=self.hp["max_seq_len"],
+            pruning_scheme=self.conf["metric_pruning_scheme"],
+            top_of_100=bool(self.conf["top_of_100_eval"]),
+            use_images=self.hp["use_convs"],
+        )
+        rng = jax.random.PRNGKey(123)
+        for i, batch in enumerate(self.val_loader):
+            evaluator.eval(self.state.params, batch, jax.random.fold_in(rng, i))
+        summary = evaluator.dump_results(int(self.state.step))
+        step = int(self.state.step)
+        for k, v in summary.items():
+            self.logger.log_scalar(v, "eval_" + k, step, "val")
+        self.logger.flush()
+        return summary
 
     def train_epoch(self, epoch: int):
         meters = AttrDict(data=AverageMeter(), step=AverageMeter())
