@@ -71,7 +71,7 @@ def main():
     out = rollout(params, inputs, key)
     jax.block_until_ready(out)
 
-    n_iters = 5
+    n_iters = 20  # amortizes tunnel dispatch latency in remote-TPU setups
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = rollout(params, inputs, jax.random.fold_in(key, i))

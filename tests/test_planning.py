@@ -1,0 +1,145 @@
+"""CEM planning stack tests: simulator contract, flat + hierarchical planners,
+tree-latent optimizer semantics."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_gcp_tpu.core import AttrDict
+from video_gcp_tpu.models.hyperparameters import default_hparams
+from video_gcp_tpu.models.tree import TreeModel
+from video_gcp_tpu.planning.cem.cem_planner import (
+    CEMPlanner,
+    HierarchicalImageCEMPlanner,
+)
+from video_gcp_tpu.planning.cem.cost_fcn import L2ImageCost
+from video_gcp_tpu.planning.cem.sampler import (
+    ImageHierarchicalTreeCEMSampler,
+    SimpleTreeCEMSampler,
+)
+from video_gcp_tpu.planning.cem.simulator import GCPImageSimulator
+from video_gcp_tpu.planning.tree_optimizer import HierarchicalTreeLatentOptimizer
+
+L, IMG, T, NZ = 4, 16, 15, 8
+
+
+@pytest.fixture(scope="module")
+def sim():
+    hp = default_hparams()
+    hp.overwrite(dict(
+        batch_size=1, max_seq_len=T, img_sz=IMG, hierarchy_levels=L,
+        matching_type="balanced", seq_enc="conv", tree_lstm="sum",
+        regress_length=True, attach_inv_mdl=True,
+        inv_mdl_params=dict(n_actions=2), attach_state_regressor=True,
+        state_dim=2, n_actions=2, nz_vae=NZ,
+    ))
+    model = TreeModel(hp=dict(hp))
+    key = jax.random.PRNGKey(0)
+    fake = AttrDict(
+        I_0=jnp.zeros((2, IMG, IMG, 3)), I_g=jnp.zeros((2, IMG, IMG, 3)),
+        end_ind=jnp.array([T - 1, T - 1]), start_ind=jnp.zeros((2,), jnp.int32),
+        z=jnp.zeros((2, 2 ** L - 1, NZ)),
+    )
+    params = jax.jit(
+        lambda i: model.init({"params": key, "sample": key}, i, "plan",
+                             "prior", True)
+    )(fake)
+    return GCPImageSimulator(model, params, append_latent=True)
+
+
+class TestSimulator:
+    def test_rollout_contract(self, sim):
+        rng = np.random.RandomState(0)
+        state = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        goal = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        z = rng.randn(4, 2 ** L - 1, NZ).astype(np.float32)
+        out = sim.rollout(state, goal, z, T)
+        assert len(out.predictions) == 4
+        for p, lat, a, s in zip(out.predictions, out.latents, out.actions,
+                                out.states):
+            assert p.ndim == 2 and p.shape[1] == IMG * IMG * 3 + 32
+            assert lat.shape[0] == p.shape[0]
+            assert s.shape[1] == 2
+
+    def test_injected_z_deterministic_predictions(self, sim):
+        rng = np.random.RandomState(1)
+        state = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        goal = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        z = rng.randn(2, 2 ** L - 1, NZ).astype(np.float32)
+        # pin the internal rng: only the sampled sequence length depends on it
+        # when z is injected
+        sim._rng = jax.random.PRNGKey(42)
+        o1 = sim.rollout(state, goal, z, T)
+        sim._rng = jax.random.PRNGKey(42)
+        o2 = sim.rollout(state, goal, z, T)
+        np.testing.assert_allclose(o1.predictions[0], o2.predictions[0],
+                                   atol=1e-5)
+
+
+class TestPlanners:
+    def test_flat_cem(self, sim):
+        rng = np.random.RandomState(0)
+        state = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        goal = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        L2ImageCost.LATENT_SIZE = 32
+        planner = CEMPlanner(dict(
+            action_dim=NZ, n_iters=2, batch_size=8, max_rollout_bs=8,
+            elite_frac=0.25, cost_fcn=L2ImageCost, dense_cost=False,
+            sampler=functools.partial(SimpleTreeCEMSampler,
+                                      n_level_hierarchy=L),
+            max_seq_len=T, horizon=T,
+        ), sim)
+        pred, actions, latents, score = planner(state, goal)
+        assert np.asarray(pred).shape[1] == IMG * IMG * 3 + 32
+        assert np.isfinite(float(score))
+
+    def test_hierarchical_image_cem(self, sim):
+        rng = np.random.RandomState(0)
+        state = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        goal = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+
+        def cost_model_fn(enc1, enc2):
+            return np.linalg.norm(
+                np.asarray(enc1) - np.asarray(enc2), axis=-1, keepdims=True
+            )
+
+        planner = HierarchicalImageCEMPlanner(dict(
+            action_dim=NZ, n_iters=3, batch_size=8, max_rollout_bs=8,
+            cost_config=dict(model_fn=cost_model_fn, input_dim=32),
+            sampler=ImageHierarchicalTreeCEMSampler,
+            n_level_hierarchy=L, sampling_rates_per_layer=[4, 4],
+            n_ll_samples=3, max_seq_len=T,
+        ), sim)
+        pred, actions, latents, score = planner(state, goal)
+        assert planner._sampler.fully_optimized
+        assert np.isfinite(np.asarray(score)).all()
+
+
+class TestTreeOptimizerUnit:
+    def test_sample_shape_and_collapse(self):
+        class ZeroCost:
+            input_dim = 4
+
+            def __call__(self, a, b):
+                return np.linalg.norm(a - b, axis=-1)
+
+        opt = HierarchicalTreeLatentOptimizer(
+            latent_dim=3, sampling_rates=[5], depth=3,
+            subgoal_cost_fcn=ZeroCost(), ll_cost_fcn=ZeroCost(),
+            final_layer_samples=4,
+        )
+        z = opt.sample()
+        # 5 top-level samples, each with 1-sample children below -> 5 rows,
+        # 7 latents each (depth-3 tree)
+        assert z.shape == (5, 7, 3)
+        # feed fake rollouts (joined state+latent, T=7, D=4+4)
+        rollouts = [np.random.rand(7, 8) for _ in range(5)]
+        goal = np.random.rand(8)
+        opt.optimize(rollouts, goal)
+        assert opt._is_optimized
+        z2 = opt.sample()
+        # top layer collapsed to optimal z; final layer now optimizing with 4
+        assert z2.shape == (4, 7, 3)
+        np.testing.assert_allclose(z2[:, 3], np.tile(opt._opt_z[0], (4, 1)))

@@ -31,6 +31,22 @@ def _gather_nodes(images: Array, idx: Array) -> Array:
     return jnp.take_along_axis(images, expanded, axis=1)
 
 
+def basic_timeline_index(depth: int, end_ind: Array, max_seq_len: int) -> Array:
+    """Per-frame bf node index under the balanced schedule, forward-filling
+    frames no node matched (BalancedEvalBinding leaf extraction,
+    evaluation_matching.py:174-206, as a dense frame->node map)."""
+    from video_gcp_tpu.models.binding import balanced_match_dists
+
+    w = balanced_match_dists(depth, end_ind, max_seq_len)  # [B, N, T]
+    has_match = w.sum(1) > 0  # [B, T]
+    idx = jnp.argmax(w, axis=1)  # bf node per frame
+    t_idx = jnp.arange(max_seq_len)[None, :]
+    last_matched = jnp.where(has_match, t_idx, -1)
+    last_matched = jax.lax.associative_scan(jnp.maximum, last_matched, axis=1)
+    src = jnp.clip(last_matched, 0, max_seq_len - 1)
+    return jnp.take_along_axis(idx, src, axis=1)
+
+
 def tree_dense_sample(outputs: AttrDict, inputs: AttrDict,
                       scheme: str, max_seq_len: int) -> Array:
     """GT-timeline-aligned dense prediction [B, T, ...] from a tree output."""
@@ -43,25 +59,10 @@ def tree_dense_sample(outputs: AttrDict, inputs: AttrDict,
         return warped
 
     if scheme == "basic":
-        # balanced schedule: node k matches frame trunc(t_k); invert to a
-        # frame->node map, forward-filling frames no node matched
-        from video_gcp_tpu.models.binding import balanced_match_dists
-
         import math
 
         depth = int(math.log2(images_bf.shape[1] + 1))
-        w = balanced_match_dists(depth, end_ind, max_seq_len)  # [B, N, T]
-        has_match = w.sum(1) > 0  # [B, T]
-        idx = jnp.argmax(w, axis=1)  # bf node per frame
-        # forward fill: running max of last matched frame index
-        t_idx = jnp.arange(max_seq_len)[None, :]
-        last_matched = jnp.where(has_match, t_idx, -1)
-        last_matched = jax.lax.associative_scan(
-            jnp.maximum, last_matched, axis=1
-        )
-        src = jnp.clip(last_matched, 0, max_seq_len - 1)
-        idx = jnp.take_along_axis(idx, src, axis=1)
-        # frames before the first match fall back to the start frame's match
+        idx = basic_timeline_index(depth, end_ind, max_seq_len)
         return _gather_nodes(images_bf, idx)
 
     if scheme == "pruned_dtw":

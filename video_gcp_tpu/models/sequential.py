@@ -177,8 +177,27 @@ class SequentialModel(BaseGCPModel):
             outputs.update(aux)
             losses.update(self.aux_losses(inputs, outputs))
             losses = self.assemble_total(inputs, losses)
+        if phase == "plan":
+            outputs.update(self.plan_outputs(inputs, outputs))
+
         outputs.losses = losses
         return outputs
+
+    def plan_outputs(self, inputs: AttrDict, outputs: AttrDict) -> AttrDict:
+        """Planner-facing dense outputs (cem_simulator contract)."""
+        hp = self.hp
+        lat = jnp.concatenate(
+            [inputs.e_0[:, None], outputs.dense_rec.encodings], axis=1
+        )
+        plan = AttrDict(
+            timeline_images=outputs.dense_rec.images,
+            timeline_latents=lat,
+        )
+        if hp["attach_inv_mdl"]:
+            plan.actions = self.inv_mdl(lat[:, :-1], lat[:, 1:])
+        if hp["attach_state_regressor"]:
+            plan.regressed_state = self.state_regressor(lat)
+        return plan
 
     def compute_losses(self, inputs, outputs, step):
         """Dense reconstruction NLL + per-step KL (sequential.py:60-68)."""

@@ -268,10 +268,40 @@ class TreeModel(BaseGCPModel):
             losses.update(self.aux_losses(inputs, outputs))
             losses = self.assemble_total(inputs, losses)
 
+        if phase == "plan":
+            outputs.update(self.plan_outputs(inputs, outputs))
+
         outputs.losses = losses
         return outputs
 
     # ------------------------------------------------------------------
+
+    def plan_outputs(self, inputs: AttrDict, outputs: AttrDict) -> AttrDict:
+        """Batched planner-facing outputs: the balanced-schedule GT-timeline
+        prediction plus inferred actions / regressed states / latents
+        (the contract GCPSimulator.rollout reads, cem_simulator.py:14-43).
+        All [B, T, ...] with validity up to outputs.end_ind."""
+        hp = self.hp
+        from video_gcp_tpu.evaluation.eval_binding import basic_timeline_index
+
+        end_ind = outputs.end_ind
+        depth = hp["hierarchy_levels"]
+        idx = basic_timeline_index(depth, end_ind, hp["max_seq_len"])
+
+        def gather(x):
+            e = idx.reshape(idx.shape + (1,) * (x.ndim - 2))
+            return jnp.take_along_axis(x, e, axis=1)
+
+        plan = AttrDict(
+            timeline_images=gather(outputs.tree.images),
+            timeline_latents=gather(outputs.tree.e_g_prime),
+        )
+        lat = plan.timeline_latents
+        if hp["attach_inv_mdl"]:
+            plan.actions = self.inv_mdl(lat[:, :-1], lat[:, 1:])
+        if hp["attach_state_regressor"]:
+            plan.regressed_state = self.state_regressor(lat)
+        return plan
 
     def compute_matching(self, inputs: AttrDict, outputs: AttrDict, step):
         """Match tree nodes to GT frames (tree_module.py:132-147)."""
