@@ -113,16 +113,54 @@ class L2ImageCost(CostFcn, ImageCost):
         return self.LATENT_SIZE
 
 
+def make_test_time_cost_fn(checkpt_path, load_epoch="latest",
+                           cost_params=None):
+    """Restore the cost-model submodule from a predictor checkpoint and return
+    a jitted callable(enc1, enc2) -> cost (TestTimeCostModel,
+    cost_mdl.py:123-145: loads only the `cost_mdl` scope)."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_gcp_tpu.models.aux_models import CostModel
+    from video_gcp_tpu.training import checkpoint as ckpt_lib
+
+    path = ckpt_lib.resolve_resume(load_epoch, checkpt_path)
+    if path is None:
+        raise ValueError(f"no checkpoint under {checkpt_path}")
+    params = ckpt_lib.load_params(path)
+    sub = ckpt_lib.extract_subtree(params, "cost_mdl")
+    p = dict(nz_mid=128, n_processing_layers=3)
+    if cost_params:
+        p.update(cost_params)
+    model = CostModel(p)
+
+    @jax.jit
+    def run(enc1, enc2):
+        return model.apply({"params": sub}, enc1, enc2)
+
+    return lambda e1, e2: np.asarray(
+        run(jnp.asarray(np.asarray(e1), jnp.float32),
+            jnp.asarray(np.asarray(e2), jnp.float32))
+    )
+
+
 class LearnedCostEstimate:
     """Learned cost network between latent states (TestTimeCostModel wrap).
 
-    :param config: dict with `model_fn(enc1, enc2) -> cost` — a callable
-        closing over restored cost-model params (built by the planner policy
-        from a checkpoint, see planning.planner_policy).
+    :param config: dict with either `model_fn(enc1, enc2) -> cost` (a callable
+        closing over restored cost-model params) or `checkpt_path` pointing at
+        a predictor checkpoint whose `cost_mdl` scope is restored
+        (cost_fcn.py:87-95 / cost_mdl.py TestTimeCostModel).
     """
 
     def __init__(self, config):
-        self.net = config["model_fn"]
+        if "model_fn" in config:
+            self.net = config["model_fn"]
+        else:
+            self.net = make_test_time_cost_fn(
+                config["checkpt_path"], config.get("load_epoch", "latest"),
+                config.get("cost_params", None),
+            )
         self._input_dim = config.get("input_dim", 128)
 
     def __call__(self, start_enc, goal_enc):
