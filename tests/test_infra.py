@@ -1,0 +1,151 @@
+"""Planning-infra tests: layout determinism, env stepping/collision, PRM
+navigation, saver round-trip, control-perf metrics."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from video_gcp_tpu.core import AttrDict
+
+
+class TestLayout:
+    def test_layout_deterministic(self):
+        from video_gcp_tpu.planning.infra.envs.layout import define_layout
+
+        l1 = define_layout(3)
+        l2 = define_layout(3)
+        assert l1.doors == l2.doors
+        np.testing.assert_array_equal(l1.ox, l2.ox)
+
+    def test_room_seq_bfs(self):
+        from video_gcp_tpu.planning.infra.envs.layout import (
+            define_layout,
+            plan_room_seq,
+        )
+
+        lay = define_layout(3)
+        seq = plan_room_seq(0, 8, lay.doors)
+        assert seq[0] == 0 and seq[-1] == 8
+        # consecutive rooms must share a door
+        for a, b in zip(seq[:-1], seq[1:]):
+            assert sorted((a, b)) in [sorted(d) for d in lay.doors]
+
+    def test_sampler_stays_in_room(self):
+        from video_gcp_tpu.planning.infra.envs.layout import (
+            RoomSampler2d,
+            define_layout,
+        )
+
+        lay = define_layout(3)
+        s = RoomSampler2d(3)
+        for room in range(9):
+            for _ in range(10):
+                p = s.sample(room)
+                assert lay.coords2ridx(p[0], p[1]) == room
+
+
+class TestEnv:
+    def test_reset_step_contract(self):
+        from video_gcp_tpu.planning.infra.envs.multiroom2d import (
+            TopdownMultiroom2dEnv,
+        )
+
+        env = TopdownMultiroom2dEnv(dict(n_rooms=9, crop_window=32))
+        obs, reset_state = env.reset()
+        assert obs.images.shape == (1, 64, 64, 3)
+        assert obs.images.dtype == np.uint8
+        assert obs.state.shape == (5,)
+        obs2 = env.step(np.array([0.01, 0.0]))
+        assert obs2.qpos_full[0] != obs.qpos_full[0]
+
+    def test_wall_collision_blocks(self):
+        from video_gcp_tpu.planning.infra.envs.multiroom2d import Multiroom2dEnv
+
+        env = Multiroom2dEnv(dict(n_rooms=9))
+        env.reset(np.array([0.0, 0.0, 0.0, 0.4, 0.4]))
+        # dash straight through the world; collisions must keep us in bounds
+        for _ in range(30):
+            env.step(np.array([0.1, 0.0]))
+        assert np.abs(env.current_pos[:2]).max() < env._layout.table_size / 2
+
+
+class TestPrmNavigation:
+    def test_expert_reaches_goal(self):
+        np.random.seed(3)
+        from video_gcp_tpu.planning.infra.envs.multiroom2d import (
+            TopdownMultiroom2dEnv,
+        )
+        from video_gcp_tpu.planning.infra.policy.prm_policy.prm_policy import (
+            PrmPolicy,
+        )
+
+        env = TopdownMultiroom2dEnv(dict(n_rooms=9, crop_window=32))
+        obs, _ = env.reset()
+        policy = PrmPolicy(None, dict(n_samples_per_room=60,
+                                      max_traj_length=120), None, None,
+                           **env.env_policy_params())
+        qpos, goal = [obs.qpos_full], [obs.goal]
+        for t in range(100):
+            out = policy.act(t=t, i_tr=0, qpos_full=np.stack(qpos),
+                             goal=np.stack(goal))
+            obs = env.step(out.actions)
+            qpos.append(obs.qpos_full)
+            goal.append(obs.goal)
+        stats = env.eval()
+        assert stats["final_dist"] < 0.15, stats
+
+
+class TestSavers:
+    def test_hdf5_roundtrip(self, tmp_path):
+        from video_gcp_tpu.data.datasets import GlobalSplitVarLenVideoDataset
+        from video_gcp_tpu.planning.infra.agent.savers import HDF5Saver
+
+        t_max = 10
+        saver = HDF5Saver(str(tmp_path), {}, dict(T=t_max), traj_per_file=2,
+                          split_train_val_test=False)
+        for i in range(2):
+            length = 6 + i
+            obs = dict(
+                images=np.random.randint(0, 255, (length + 1, 1, 8, 8, 3),
+                                         dtype=np.uint8),
+                state=np.random.rand(length + 1, 5),
+            )
+            pol = [dict(actions=np.random.rand(2)) for _ in range(length)]
+            saver.save_traj(i, {}, obs, pol)
+        saver.flush()
+
+        data_conf = AttrDict(dataset_spec=AttrDict(
+            max_seq_len=t_max, split=AttrDict(train=1.0, val=0.0, test=0.0)
+        ))
+        ds = GlobalSplitVarLenVideoDataset(
+            str(tmp_path), dict(use_convs=True, img_sz=8), data_conf, "train"
+        )
+        ex = ds[0]
+        assert ex.traj_seq.shape == (t_max, 8, 8, 3)
+        assert ex.end_ind in (6, 7)
+
+
+class TestControlPerf:
+    def test_metrics_from_fake_scores(self, tmp_path):
+        from video_gcp_tpu.evaluation.compute_control_perf import (
+            compute_control_perf,
+        )
+
+        # agent walks from (-0.4,-0.4) to (0.4,0.4): success
+        traj = np.linspace([-0.4, -0.4, 0], [0.4, 0.4, 0], 20)
+        data = dict(
+            full_traj=[traj],
+            reset_state=[dict(goal=np.array([0.4, 0.4]))],
+        )
+        res = compute_control_perf(data, n_rooms=9, max_seq_len=100)
+        assert res["success_rate"] == 1.0
+        assert res["penalized_cost"] < 100
+        # failure case pays max_seq_len
+        data2 = dict(
+            full_traj=[traj[:2]],
+            reset_state=[dict(goal=np.array([0.4, 0.4]))],
+        )
+        res2 = compute_control_perf(data2, n_rooms=9, max_seq_len=100)
+        assert res2["success_rate"] == 0.0
+        assert res2["penalized_cost"] == 100
