@@ -1,0 +1,99 @@
+"""Model-variant tests: discrete-logistic-mixture decoder, behavioral cloning,
+action-conditioned VMPC (nz_vae=0 deterministic inference)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video_gcp_tpu.core import AttrDict
+from video_gcp_tpu.models.hyperparameters import default_hparams
+
+B, T, H = 2, 8, 16
+KEY = jax.random.PRNGKey(0)
+
+
+def make_inputs():
+    rng = np.random.RandomState(0)
+    inputs = AttrDict(
+        traj_seq=jnp.asarray(rng.rand(B, T, H, H, 3).astype(np.float32) * 2 - 1),
+        actions=jnp.asarray(rng.rand(B, T - 1, 2).astype(np.float32)),
+        pad_mask=jnp.ones((B, T), jnp.float32),
+        end_ind=jnp.array([T - 1, T - 2]),
+        start_ind=jnp.zeros((B,), jnp.int32),
+    )
+    inputs.I_0 = inputs.traj_seq[:, 0]
+    inputs.I_g = inputs.traj_seq[:, -1]
+    return inputs
+
+
+class TestDLM:
+    def test_nll_favors_correct_target(self):
+        from video_gcp_tpu.models import dlm
+
+        rng = np.random.RandomState(0)
+        target = jnp.asarray(rng.rand(1, 4, 4, 3).astype(np.float32) * 2 - 1)
+        raw = np.zeros((1, 4, 4, dlm.n_dlm_channels(3)), np.float32)
+        # means parameterized pre-tanh; set first mixture means to atanh(target)
+        raw[..., dlm.N_MIX : dlm.N_MIX + 3 * dlm.N_MIX] = np.tile(
+            np.arctanh(np.asarray(target) * 0.99), (1, 1, 1, dlm.N_MIX)
+        )
+        raw[..., -3 * dlm.N_MIX :] = -4.0  # tight scales
+        nll_good = float(dlm.nll(jnp.asarray(raw), target).mean())
+        nll_bad = float(dlm.nll(jnp.asarray(raw), -target).mean())
+        assert nll_good < nll_bad
+
+    def test_tree_dlm_end_to_end(self):
+        from video_gcp_tpu.models.tree import TreeModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H,
+                          hierarchy_levels=3, matching_type="balanced",
+                          decoder_distribution="discrete_logistic_mixture"))
+        m = TreeModel(hp=dict(hp))
+        inputs = make_inputs()
+        p = jax.jit(lambda i: m.init({"params": KEY, "sample": KEY}, i,
+                                     "train", "posterior"))(inputs)
+        out = jax.jit(lambda p, i: m.apply(p, i, "train", "posterior",
+                                           rngs={"sample": KEY}))(p, inputs)
+        assert out.tree.images.shape == (B, 7, H, H, 3)
+        assert float(out.tree.images.max()) <= 1.0
+        assert np.isfinite(float(out.losses.total.value))
+
+
+class TestBC:
+    def test_train_and_act(self):
+        from video_gcp_tpu.models.bc import BCModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H, n_actions=2))
+        bc = BCModel(hp=dict(hp))
+        inputs = make_inputs()
+        p = jax.jit(lambda i: bc.init({"params": KEY, "sample": KEY}, i,
+                                      "train", "posterior"))(inputs)
+        out = jax.jit(lambda p, i: bc.apply(p, i, "train", "posterior",
+                                            rngs={"sample": KEY}))(p, inputs)
+        assert out.actions.shape == (B, T - 1, 2)
+        assert np.isfinite(float(out.losses.total.value))
+        act, hidden = bc.apply(p, inputs.I_0, inputs.I_g, None,
+                               method=BCModel.act_single)
+        assert act.shape == (B, 2)
+
+
+class TestVMPC:
+    def test_action_conditioned_zero_latent(self):
+        from video_gcp_tpu.models.sequential import SequentialModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H,
+                          hierarchy_levels=0, action_conditioned_pred=True,
+                          non_goal_conditioned=True, nz_vae=0,
+                          var_inf="deterministic", n_actions=2))
+        vm = SequentialModel(hp=dict(hp))
+        inputs = make_inputs()
+        p = jax.jit(lambda i: vm.init({"params": KEY, "sample": KEY}, i,
+                                      "train", "posterior"))(inputs)
+        out = jax.jit(lambda p, i: vm.apply(p, i, "train", "posterior",
+                                            rngs={"sample": KEY}))(p, inputs)
+        assert out.dense_rec.images.shape == (B, T, H, H, 3)
+        # zero KL: q == p == empty gaussian
+        assert float(out.losses.kl.value) == 0.0

@@ -71,9 +71,20 @@ class BaseGCPModel(nn.Module):
 
     def setup_core(self):
         hp = self.hp
+        self.use_dlm = (hp["use_convs"] and hp.get("decoder_distribution")
+                        == "discrete_logistic_mixture")
         if hp["use_convs"]:
             self.encoder = ConvEncoder(hp, dtype=self.dtype)
-            self.decoder = ConvDecoder(hp, dtype=self.dtype)
+            if self.use_dlm:
+                from video_gcp_tpu.models.dlm import n_dlm_channels
+
+                self.decoder = ConvDecoder(
+                    hp, dtype=self.dtype,
+                    out_channels=n_dlm_channels(hp["input_nc"]),
+                    tanh_out=False,
+                )
+            else:
+                self.decoder = ConvDecoder(hp, dtype=self.dtype)
         else:
             self.encoder = MLPEncoder(hp, dtype=self.dtype)
             self.decoder = MLPDecoder(hp, dtype=self.dtype)
@@ -157,13 +168,23 @@ class BaseGCPModel(nn.Module):
         outputs.end_ind = end_ind
         return end_ind
 
-    def decode_seq(self, e_seq: Array, skips) -> Array:
+    def decode_seq(self, e_seq: Array, skips):
         """Decode a [B, N, nz_enc] latent sequence to frames, folding the node
-        axis into batch so XLA sees one big conv (base_gcp design stance)."""
+        axis into batch so XLA sees one big conv (base_gcp design stance).
+
+        :return: (images [B, N, H, W, C], dlm_params or None). Under the
+            discrete-logistic-mixture decoder, `images` is the mixture mean
+            (deterministic decode for logging/planning/matching) and the raw
+            params feed the NLL."""
         b, n = e_seq.shape[:2]
         flat = e_seq.reshape(b * n, -1)
         out = self.decoder(flat, skips)
-        return out.reshape((b, n) + out.shape[1:])
+        out = out.reshape((b, n) + out.shape[1:])
+        if getattr(self, "use_dlm", False):
+            from video_gcp_tpu.models import dlm
+
+            return dlm.mean(out, self.hp["input_nc"]), out
+        return out, None
 
     def log_sigma(self) -> Array:
         return self.log_sigma_mod()

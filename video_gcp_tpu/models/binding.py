@@ -96,13 +96,34 @@ class BalancedBinding(nn.Module):
 
         w = outputs.gt_match_dists  # [B, N, T]
         images = outputs.tree.images  # [B, N, H, W, C] (bf)
+
         # per-frame matched node via argmax over the node axis
         # (BaseBinding.get_matched_sequence, frame_binding.py:28-34)
         idx = jnp.argmax(w, axis=1)  # [B, T]
-        estimates = jnp.take_along_axis(
-            images, idx.reshape(idx.shape + (1,) * (images.ndim - 2)), axis=1
-        )
+
+        def gather(x):
+            return jnp.take_along_axis(
+                x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1
+            )
+
+        estimates = gather(images)
         outputs.soft_matched_estimates = jax.lax.stop_gradient(estimates)
+
+        if outputs.tree.get("dlm_params") is not None:
+            # discrete-logistic-mixture decoder: NLL of the matched node's
+            # distribution ('distr' in the reference) against the GT frame
+            from video_gcp_tpu.models import dlm
+
+            nll_mat = dlm.nll(gather(outputs.tree.dlm_params),
+                              inputs.traj_seq)
+            wts = inputs.pad_mask[:, :, None, None]
+            return AttrDict(
+                dense_img_rec=penalty_loss(
+                    nll_mat * wts, weight=self.hp["dense_img_rec_weight"],
+                    breakdown=1, reduction=[-1, -2],
+                )
+            )
+
         weights = inputs.pad_mask.reshape(
             inputs.pad_mask.shape + (1,) * (inputs.traj_seq.ndim - 2)
         )
@@ -218,7 +239,14 @@ class AdaptiveBinding(nn.Module):
 
     def reconstruction_loss(self, inputs, outputs, log_sigma) -> AttrDict:
         """Expected Gaussian NLL of every node against every frame weighted by
-        the match distribution (binding_loss.LossAveragingCriterion.loss:19-42)."""
+        the match distribution (binding_loss.LossAveragingCriterion.loss:19-42).
+
+        The all-pairs expected likelihood relies on the Gaussian cdist
+        factorization; adaptive matching therefore requires the Gaussian
+        decoder (the published gcp_adaptive config uses it)."""
+        assert outputs.tree.get("dlm_params") is None, (
+            "adaptive binding requires decoder_distribution='gaussian'"
+        )
         predictions = outputs.tree.images  # [B, N, ...] bf
         targets = inputs.traj_seq  # [B, T, ...]
         w = outputs.gt_match_dists  # [B, N, T] bf

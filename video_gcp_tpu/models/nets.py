@@ -105,6 +105,8 @@ class ConvDecoder(nn.Module):
 
     hp: dict
     dtype: Any = jnp.float32
+    out_channels: Optional[int] = None  # overrides input_nc (e.g. DLM params)
+    tanh_out: bool = True
 
     @nn.compact
     def __call__(self, e: Array, skips: Optional[list] = None) -> Array:
@@ -130,8 +132,11 @@ class ConvDecoder(nn.Module):
             x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
             x = norm(ch)(x)
             x = nn.leaky_relu(x, 0.2)
-        x = nn.Conv(hp["input_nc"], (3, 3), padding="SAME", dtype=self.dtype)(x)
-        return jnp.tanh(x).astype(jnp.float32)
+        out_ch = self.out_channels or hp["input_nc"]
+        x = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        if self.tanh_out:
+            x = jnp.tanh(x)
+        return x.astype(jnp.float32)
 
     def decoder_log_sigma(self):
         pass  # log_sigma lives in GaussianLogSigma at the model level
@@ -162,6 +167,10 @@ class GaussianHead(nn.Module):
 
     @nn.compact
     def __call__(self, *inputs: Array) -> Gaussian:
+        if self.nz == 0:
+            # zero-width latent (vmpc: nz_vae=0, deterministic inference)
+            shape = inputs[0].shape[:-1] + (0,)
+            return unit_gaussian(shape)
         out = MLP(2 * self.nz, self.mid_size, self.n_layers, self.dtype)(*inputs)
         return Gaussian.from_concat(out)
 

@@ -121,10 +121,11 @@ class SequentialModel(BaseGCPModel):
             q_z=jax.tree_util.tree_map(lambda v: jnp.moveaxis(v, 0, 1), seq_out.q_z),
             p_z=jax.tree_util.tree_map(lambda v: jnp.moveaxis(v, 0, 1), seq_out.p_z),
         )
-        images = self.decode_seq(encodings, inputs.skips)
+        images, dlm_params = self.decode_seq(encodings, inputs.skips)
         outputs.dense_rec.images = jnp.concatenate(
             [inputs.I_0[:, None], images], axis=1
         )
+        outputs.dense_rec.dlm_params = dlm_params
         return outputs
 
     def _scan_cell(self, carry0, xs, context, mode):
@@ -203,15 +204,26 @@ class SequentialModel(BaseGCPModel):
         """Dense reconstruction NLL + per-step KL (sequential.py:60-68)."""
         hp = self.hp
         losses = AttrDict()
-        pred = outputs.dense_rec.images[:, 1:]  # first frame is GT I_0
         target = inputs.traj_seq[:, 1:]
-        w = inputs.pad_mask[:, 1:].reshape(
-            inputs.pad_mask[:, 1:].shape + (1,) * (target.ndim - 2)
-        )
-        losses.dense_img_rec = gaussian_nll_loss(
-            pred, target, self.log_sigma(), weights=w,
-            weight=hp["dense_img_rec_weight"], breakdown=1,
-        )
+        if outputs.dense_rec.get("dlm_params") is not None:
+            from video_gcp_tpu.core.losses import penalty_loss
+            from video_gcp_tpu.models import dlm
+
+            nll_mat = dlm.nll(outputs.dense_rec.dlm_params, target)
+            w = inputs.pad_mask[:, 1:, None, None]
+            losses.dense_img_rec = penalty_loss(
+                nll_mat * w, weight=hp["dense_img_rec_weight"], breakdown=1,
+                reduction=[-1, -2],
+            )
+        else:
+            pred = outputs.dense_rec.images[:, 1:]  # first frame is GT I_0
+            w = inputs.pad_mask[:, 1:].reshape(
+                inputs.pad_mask[:, 1:].shape + (1,) * (target.ndim - 2)
+            )
+            losses.dense_img_rec = gaussian_nll_loss(
+                pred, target, self.log_sigma(), weights=w,
+                weight=hp["dense_img_rec_weight"], breakdown=1,
+            )
         kl_w = inputs.pad_mask[:, 1:, None]
         losses.kl = kl_divergence_loss(
             outputs.dense_rec.q_z, outputs.dense_rec.p_z, weights=kl_w,

@@ -221,7 +221,8 @@ class TreeModel(BaseGCPModel):
             tree.gamma = jnp.concatenate([l.gamma for l in levels], 1)
 
         # dense decode of all 2^L - 1 nodes through the shared decoder
-        tree.images = self.decode_seq(tree.e_g_prime, inputs.skips)
+        tree.images, tree.dlm_params = self.decode_seq(tree.e_g_prime,
+                                                       inputs.skips)
         outputs.tree = tree
         return outputs
 

@@ -87,7 +87,8 @@ def _undiagonalize(E: jnp.ndarray, r: int, c: int) -> jnp.ndarray:
     return E[:, i_idx + j_idx, j_idx]
 
 
-def soft_dtw(C: jnp.ndarray, end_inds: jnp.ndarray | None = None) -> jnp.ndarray:
+def soft_dtw(C: jnp.ndarray, end_inds: jnp.ndarray | None = None,
+             backend: str = "auto") -> jnp.ndarray:
     """Expected edge frequencies of the monotone alignment posterior.
 
     :param C: [B, r, c] cost matrix (df nodes x frames), finite values.
@@ -95,8 +96,16 @@ def soft_dtw(C: jnp.ndarray, end_inds: jnp.ndarray | None = None) -> jnp.ndarray
         (reference adaptive.py:50-51 — no gradient flows through the DTW).
     :param end_inds: [B] last valid frame index per example (frames beyond it
         are excluded from the alignment); defaults to c - 1.
+    :param backend: 'auto' uses the Pallas VMEM kernel on TPU and the XLA scan
+        elsewhere; 'xla' / 'pallas' force a choice.
     :return: [B, r, c] float32 w with w[b].sum(axis=1) ~= 1 over valid frames.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from video_gcp_tpu.ops.pallas_dtw import soft_dtw_pallas
+
+        return soft_dtw_pallas(C, end_inds)
     C = jax.lax.stop_gradient(C).astype(jnp.float32)
     b, r, c = C.shape
     assert r >= c, "requires at least as many nodes as frames (nohor transitions)"

@@ -45,15 +45,22 @@ class Logger:
                               dataformats="HWC")
 
     def log_video(self, frames, name, step, phase="", fps=4):
-        """[T, H, W, C] float in [-1, 1]."""
-        import torch
+        """[T, H, W, C] float in [-1, 1]. Falls back to an image strip when
+        video encoding (moviepy) is unavailable."""
+        import importlib.util
 
         frames = np.asarray(frames)
-        frames = np.clip((frames + 1.0) / 2.0, 0, 1)
-        vid = torch.from_numpy(
-            (frames * 255).astype(np.uint8).transpose(0, 3, 1, 2)[None]
-        )
-        self.writer.add_video(self._tag(name, phase), vid, step, fps=fps)
+        if importlib.util.find_spec("moviepy") is not None:
+            import torch
+
+            clipped = np.clip((frames + 1.0) / 2.0, 0, 1)
+            vid = torch.from_numpy(
+                (clipped * 255).astype(np.uint8).transpose(0, 3, 1, 2)[None]
+            )
+            self.writer.add_video(self._tag(name, phase), vid, step, fps=fps)
+        else:
+            step_sz = max(len(frames) // 10, 1)
+            self.log_images(frames[::step_sz][:10], name + "_strip", step, phase)
 
     def log_graph(self, values, name, step, phase=""):
         """1-D array as a per-index scalar family (layerwise losses,

@@ -321,6 +321,7 @@ class ModelTrainer:
         pred = self._dense_prediction(out, batch)
         if pred is None:
             return
+        self._log_val_images(out, batch, pred)
         mask = np.asarray(batch.pad_mask)
         p = np.asarray(psnr(pred, batch.traj_seq))
         s = np.asarray(ssim(pred, batch.traj_seq))
@@ -329,6 +330,38 @@ class ModelTrainer:
         acc["psnr"].append((p * mask).sum() / denom)
         acc["ssim"].append((s * mask).sum() / denom)
         acc["mse"].append((m * mask).sum() / denom)
+
+    def _log_val_images(self, out, batch, pred):
+        """Per-epoch TB visualizations (HierarchyLogger family)."""
+        if not self.hp.get("use_convs", True):
+            return
+        from video_gcp_tpu.evaluation import visualization as vis
+
+        step = int(self.state.step)
+        gt = jax.device_get(batch.traj_seq)
+        gen = jax.device_get(pred)
+        self.logger.log_images(
+            np.stack([vis.seq_strip(gt), vis.seq_strip(gen)]),
+            "val_gt_vs_pred", step, "val",
+        )
+        self.logger.log_video(gen[0], "val_pred_gif", step, "val")
+        if "tree" in out:
+            images_bf = jax.device_get(out.tree.images)
+            self.logger.log_images(
+                vis.plot_balanced_tree(images_bf)[None],
+                "output_tree", step, "val",
+            )
+            if "prune_keep" in out:
+                from video_gcp_tpu.ops.tree_index import breadthfirst2depthfirst
+
+                images_df = jax.device_get(
+                    breadthfirst2depthfirst(out.tree.images)
+                )
+                self.logger.log_images(
+                    vis.plot_pruned_seq(images_df,
+                                        jax.device_get(out.prune_keep))[None],
+                    "pruned_pred", step, "val",
+                )
 
     def _dense_prediction(self, out, batch):
         """Dense [B, T, ...] prediction for metric computation."""
