@@ -2,6 +2,7 @@ from video_gcp_tpu.data.datasets import (
     FolderSplitVarLenVideoDataset,
     GlobalSplitVarLenVideoDataset,
     MazeGlobalSplitVarLenVideoDataset,
+    MazeTopRenderedGlobalSplitVarLenVideoDataset,
     RandomVideoDataset,
     VarLenVideoDataset,
 )

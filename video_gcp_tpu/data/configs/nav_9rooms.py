@@ -1,18 +1,19 @@
 """nav_9rooms dataset config (reference: gcp/datasets/configs/nav_9rooms.py).
 
-Uses the maze global-split variable-length loader keeping (x, y) states; the
-top-down re-rendered image variant (MazeTopRenderedGlobalSplit...) attaches
-once the planning-infra layout renderer is present.
+Images are re-rendered top-down from (x, y) states through the same renderer
+the control-time env uses (MazeTopRenderedGlobalSplitVarLenVideoDataset).
 """
 import numbers
 
 import numpy as np
 
 from video_gcp_tpu.core.attrdict import AttrDict
-from video_gcp_tpu.data.datasets import MazeGlobalSplitVarLenVideoDataset
+from video_gcp_tpu.data.datasets import (
+    MazeTopRenderedGlobalSplitVarLenVideoDataset,
+)
 
 
-class Nav9Rooms(MazeGlobalSplitVarLenVideoDataset):
+class Nav9Rooms(MazeTopRenderedGlobalSplitVarLenVideoDataset):
     n_rooms = 9
 
     @classmethod

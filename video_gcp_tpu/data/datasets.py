@@ -283,6 +283,45 @@ class MazeGlobalSplitVarLenVideoDataset(GlobalSplitVarLenVideoDataset):
         return super().process_data_dict(data_dict)
 
 
+class MazeTopRenderedGlobalSplitVarLenVideoDataset(
+    MazeGlobalSplitVarLenVideoDataset
+):
+    """Replaces stored images with top-down renders cropped around the agent
+    (data_loader.py:299-319): for each frame, the (x, y) state is rendered
+    into the static maze overview with the goal marked, through the same
+    renderer the TopdownMultiroom2dEnv uses at control time — so train and
+    test observations match exactly."""
+
+    def __init__(self, data_dir, mpar, data_conf, phase, shuffle=True,
+                 dataset_size=-1):
+        from video_gcp_tpu.planning.infra.envs.multiroom2d import Multiroom2dEnv
+
+        super().__init__(data_dir, mpar, data_conf, phase, shuffle, dataset_size)
+        assert "n_rooms" in data_conf, "need n_rooms in dataset config"
+        self._crop_window_px = data_conf["crop_window"]
+        self._render_env = Multiroom2dEnv(
+            {"n_rooms": data_conf["n_rooms"]}, no_env=True,
+            crop_window=self._crop_window_px,
+        )
+
+    def process_data_dict(self, data_dict):
+        if "images" in data_dict:
+            assert "states" in data_dict and "end_ind" in data_dict
+            w = self._crop_window_px
+            rendered = np.zeros(
+                (data_dict["images"].shape[0], 1, w * 2, w * 2, 3),
+                dtype=data_dict["images"].dtype,
+            )
+            end = data_dict["end_ind"]
+            for t in range(end + 1):
+                raw = self._render_env.render_pos_top_down(
+                    data_dict["states"][t, :2], data_dict["states"][end, :2]
+                )
+                rendered[t, 0] = np.asarray(raw * 255, dtype=rendered.dtype)
+            data_dict["images"] = rendered
+        return super().process_data_dict(data_dict)
+
+
 class RandomVideoDataset(BaseVideoDataset):
     """Synthetic point-mass-in-a-room video dataset.
 

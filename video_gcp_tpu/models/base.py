@@ -207,8 +207,36 @@ class BaseGCPModel(nn.Module):
         enc_seq = inputs.model_enc_seq  # [B, T, D]
 
         if hp["attach_inv_mdl"] and phase == "train":
-            detached = jax.lax.stop_gradient(enc_seq)
-            aux.actions = self.inv_mdl(detached[:, :-1], detached[:, 1:])
+            if hp.get("train_inv_mdl_full_seq", False):
+                detached = jax.lax.stop_gradient(enc_seq)
+                aux.actions = self.inv_mdl(detached[:, :-1], detached[:, 1:])
+            else:
+                # pair-sampling mode (the reference's training default,
+                # inverse_mdl.py:85-101): sample (t0, t1 = t0 + delta) with
+                # delta in [1, temp_dist], regress the action at t0 from the
+                # GT frame encodings
+                temp_dist = hp["inv_mdl_params"].get("temp_dist", 1)
+                b = enc_seq.shape[0]
+                r1, r2 = jax.random.split(jax.random.fold_in(rng, 7))
+                max_t0 = jnp.maximum(
+                    inputs.end_ind.astype(jnp.float32) - temp_dist, 0.0
+                )
+                t0 = (jax.random.uniform(r1, (b,)) * (max_t0 + 1.0)).astype(
+                    jnp.int32
+                )
+                delta = 1 + (jax.random.uniform(r2, (b,)) * temp_dist).astype(
+                    jnp.int32
+                )
+                t1 = t0 + delta
+                src = jax.lax.stop_gradient(inputs.enc_traj_seq)
+
+                def g(x, idx):
+                    return jnp.take_along_axis(
+                        x, idx.reshape((b,) + (1,) * (x.ndim - 1)), axis=1
+                    )[:, 0]
+
+                aux.pair_action = self.inv_mdl(g(src, t0), g(src, t1))[:, None]
+                aux.pair_action_target = g(inputs.actions, t0)[:, None]
         if hp["attach_state_regressor"]:
             aux.regressed_state = self.state_regressor(
                 jax.lax.stop_gradient(enc_seq)
@@ -235,6 +263,10 @@ class BaseGCPModel(nn.Module):
             losses.update(
                 InverseModel.loss(outputs.actions, inputs.actions,
                                   inputs.pad_mask)
+            )
+        if "pair_action" in outputs:
+            losses.action_reconst = l2_loss(
+                outputs.pair_action, outputs.pair_action_target
             )
         if "cost" in outputs:
             losses.update(CostModel.loss(outputs.cost, outputs.cost_target))

@@ -173,7 +173,8 @@ class SequentialModel(BaseGCPModel):
             )
             aux = self.run_aux_models(
                 inputs, outputs, phase,
-                self.make_rng("sample") if hp["attach_cost_mdl"] else None,
+                self.make_rng("sample")
+                if (hp["attach_cost_mdl"] or hp["attach_inv_mdl"]) else None,
             )
             outputs.update(aux)
             losses.update(self.aux_losses(inputs, outputs))

@@ -64,6 +64,7 @@ def parse_args(argv=None):
     p.add_argument("--train", default=1, type=int)
     p.add_argument("--metric", default=0, type=int)
     p.add_argument("--val_sweep", default=0, type=int)
+    p.add_argument("--dataset_val_sweep", default=0, type=int)
     p.add_argument("--deterministic", default=0, type=int)
     p.add_argument("--val_data_size", default=-1, type=int)
     p.add_argument("--log_outputs_interval", default=10, type=int)
@@ -214,6 +215,9 @@ class ModelTrainer:
                 self.state = ckpt.load_checkpoint(path, self.state)
                 self.val(epoch)
             return
+        if args.dataset_val_sweep:
+            self.run_dataset_val_sweep()
+            return
         if args.metric:
             self.run_metric_eval()
             return
@@ -225,6 +229,46 @@ class ModelTrainer:
             ckpt.save_checkpoint(self.exp_path, epoch, self.state)
             if not (epoch == 0 and args.skip_first_val):
                 self.val(epoch)
+
+    def run_dataset_val_sweep(self):
+        """Validate the current checkpoint across a collection of datasets,
+        re-deriving hierarchy_levels = ceil(log2(max_seq_len)) per dataset
+        (train.py:80-81). Works for tied-layer tree models whose per-level
+        parameters are shared (depth-independent param structure)."""
+        import math
+
+        sweeps = self.conf.get("dataset_sweep_specs", [])
+        assert sweeps, "set configuration['dataset_sweep_specs'] for the sweep"
+        assert not self.hp.get("untied_layers", False), (
+            "dataset sweep re-derives tree depth; needs tied layers"
+        )
+        base_model_cls = type(self.model)
+        for spec in sweeps:
+            hp = dict(self.hp)
+            hp["max_seq_len"] = spec["max_seq_len"]
+            if self.hp.get("hierarchy_levels", 0) > 0:
+                hp["hierarchy_levels"] = int(
+                    math.ceil(math.log2(spec["max_seq_len"]))
+                )
+            model = base_model_cls(hp=hp)
+            data_conf = AttrDict(self.data_conf)
+            data_conf.dataset_spec = AttrDict(data_conf.dataset_spec)
+            data_conf.dataset_spec.max_seq_len = spec["max_seq_len"]
+            dset_cls = self._dataset_class()
+            val_set = dset_cls(
+                get_dataset_path(spec["dataset_name"]), hp, data_conf, "val",
+                shuffle=False, dataset_size=self.args.val_data_size,
+            )
+            loader = DataLoader(val_set, self.conf["batch_size"],
+                                shuffle=False)
+            old_model, old_loader = self.model, self.val_loader
+            self.model, self.val_loader = model, loader
+            self.val_step = make_val_step(model)
+            print(f"[dataset sweep] {spec['dataset_name']} "
+                  f"(T={spec['max_seq_len']}, L={hp.get('hierarchy_levels')})")
+            self.val(0)
+            self.model, self.val_loader = old_model, old_loader
+            self.val_step = make_val_step(self.model)
 
     def run_metric_eval(self):
         """Full top-of-100 metric evaluation on the val set (--metric 1;
