@@ -56,7 +56,22 @@ def build(batch_size: int, levels: int = 9, img_sz: int = 64):
                           rngs={"sample": key})
         return out.tree.images
 
-    return rollout, params, inputs
+    def rollout_n(params, inputs, key, n):
+        """n rollouts in ONE dispatch (lax.scan over rng keys) — measures
+        sustained on-chip throughput independent of host/tunnel dispatch
+        latency."""
+
+        def step(carry, k):
+            out = model.apply(params, inputs, "test", "prior",
+                              rngs={"sample": k})
+            # reduce to a scalar so the scan doesn't materialize n full outputs
+            return carry + out.tree.images.mean(), None
+
+        keys = jax.random.split(key, n)
+        acc, _ = jax.lax.scan(step, jnp.zeros(()), keys)
+        return acc
+
+    return rollout, rollout_n, params, inputs
 
 
 def main():
@@ -64,17 +79,16 @@ def main():
     levels = 9  # 511 nodes -> >=500 predicted frames
     n_frames = 500
 
-    rollout, params, inputs = build(batch_size, levels)
+    rollout, rollout_n, params, inputs = build(batch_size, levels)
     key = jax.random.PRNGKey(1)
 
+    n_iters = 20
+    f = jax.jit(rollout_n, static_argnames="n")
     # compile + warmup
-    out = rollout(params, inputs, key)
-    jax.block_until_ready(out)
+    jax.block_until_ready(f(params, inputs, key, n_iters))
 
-    n_iters = 20  # amortizes tunnel dispatch latency in remote-TPU setups
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        out = rollout(params, inputs, jax.random.fold_in(key, i))
+    out = f(params, inputs, jax.random.fold_in(key, 1), n_iters)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
 
