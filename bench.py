@@ -75,7 +75,7 @@ def build(batch_size: int, levels: int = 9, img_sz: int = 64):
 
 
 def main():
-    batch_size = int(jnp.maximum(1, 8))  # per chip
+    batch_size = 32  # per chip (batch sweep: 32 saturates the v5e MXU)
     levels = 9  # 511 nodes -> >=500 predicted frames
     n_frames = 500
 

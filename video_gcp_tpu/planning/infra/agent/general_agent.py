@@ -230,6 +230,9 @@ class BenchmarkAgent(GeneralAgent):
         super()._required_rollout_metadata(agent_data, traj_ok, t, i_itr)
         agent_data.update(self.env.eval())
 
+    def get_reset_state(self, obs_dict):
+        return self.env.get_reset_from_obs(obs_dict)
+
     def _load_raw_data(self, itr):
         """Reverse of RawSaver.save_raw_data (benchmarking_agent.py:39-91)."""
         ngroup = 1000
@@ -257,3 +260,41 @@ class BenchmarkAgent(GeneralAgent):
             obs_dict.update(pickle.load(f))
         self._goal = self.env.get_goal_from_obs(obs_dict)
         return self.env.get_reset_from_obs(obs_dict)
+
+
+class BenchmarkAgentLoadHDF5(BenchmarkAgent):
+    """Benchmark agent loading start/goal confs from an hdf5 trajectory file
+    (benchmarking_agent_load_hdf5.py:9-42): start state = first frame's state,
+    goal = last valid frame."""
+
+    def _load_raw_data(self, itr):
+        import h5py
+
+        path = self._start_goal_confs
+        if not path.endswith(".h5"):
+            import glob as _glob
+
+            files = sorted(_glob.glob(os.path.join(path, "**/*.h5"),
+                                      recursive=True))
+            assert files, f"no h5 files under {path}"
+            path = files[itr % len(files)]
+            itr = itr // len(files)
+        with h5py.File(path, "r") as f:
+            tpf = int(f["traj_per_file"][()])
+            key = f"traj{itr % tpf}"
+            states = f[key + "/states"][()]
+            pad_mask = f[key + "/pad_mask"][()]
+            end = int(np.argmax(pad_mask * np.arange(len(pad_mask))))
+            images = f[key + "/images"][()] if key + "/images" in f else None
+        if images is not None:
+            h, w = self._hp.image_height, self._hp.image_width
+            goal_img = images[end].astype(np.float32) / 255.0
+            if goal_img.ndim == 3:
+                goal_img = goal_img[None]
+            self._goal_image = np.stack(
+                [cv2.resize(goal_img[c], (w, h)) for c in range(goal_img.shape[0])]
+            )[None]
+            self._demo_images = None
+        self._goal = states[end, -2:] if states.shape[-1] > 3 else states[end, :2]
+        start = states[0]
+        return np.concatenate([start[:2], [0.0], self._goal])

@@ -251,6 +251,16 @@ class Multiroom2dEnv(BaseEnv):
     def set_goal(self, goal):
         self._goal = goal
 
+    def has_goal(self):
+        return self._goal is not None
+
+    def goal_reached(self, eps: float = 0.05):
+        """True when the agent ends in the goal's room-neighborhood (shortest
+        maze distance below eps, ~15% of a room)."""
+        if self.current_pos is None or self.goal_pos is None:
+            return False
+        return self.comp_shortest_dist(self.current_pos[:2], self.goal_pos) < eps
+
     # ------------------------------------------------------------------
     # top-down renderers (multiroom3d_env.py:150-219)
     # ------------------------------------------------------------------

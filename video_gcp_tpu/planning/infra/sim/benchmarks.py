@@ -108,3 +108,21 @@ def combine_scores(log_dir, out_file="results_combined.txt"):
     with open(os.path.join(log_dir, "scores_combined.pkl"), "wb") as f:
         pickle.dump(combined, f)
     return combined
+
+
+def main():
+    """CLI: python -m video_gcp_tpu.planning.infra.sim.benchmarks <log_dir>
+    merges per-worker score pkls (combine_score.py __main__)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("log_dir")
+    args = p.parse_args()
+    combined = combine_scores(args.log_dir)
+    if "improvement" in combined:
+        print(f"mean improvement: {np.mean(combined['improvement']):.4f}")
+        print(f"mean final dist:  {np.mean(combined['final_dist']):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -79,6 +79,10 @@ def parse_args(argv=None):
 class ModelTrainer:
     def __init__(self, args):
         self.args = args
+        # multi-host: join the jax.distributed mesh when launched as one
+        # process of a multi-host job (SURVEY.md §2.14 TPU-native mapping)
+        if os.environ.get("GCP_MULTIHOST", "0") == "1":
+            jax.distributed.initialize()
         bundle = load_config(args.path)
         self.conf = bundle.configuration
         self.model_config = AttrDict(bundle.model_config)
