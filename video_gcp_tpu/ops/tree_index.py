@@ -100,6 +100,17 @@ def split_by_layer_bf(x: jnp.ndarray, axis: int = 1, depth: int | None = None):
     return out
 
 
+def per_level_means(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Mean of a bf node-axis array per tree level -> [depth]
+    (layerwise loss logging, tree_module.py:159-169)."""
+    import math as _math
+
+    n = x.shape[axis]
+    depth = int(_math.log2(n + 1))
+    parts = split_by_layer_bf(x, axis=axis % x.ndim, depth=depth)
+    return jnp.stack([p.mean() for p in parts])
+
+
 def interleave(t1: jnp.ndarray, t2: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     """[a0, a1, ...], [b0, b1, ...] -> [a0, b0, a1, b1, ...]
     (tree_utils.py:202-208): builds the next level's left/right parent arrays."""

@@ -88,6 +88,15 @@ def make_train_step(model, mesh=None) -> Callable:
             grads_finite=grads_finite,
             grad_norm=optax.global_norm(grads),
         )
+        # layerwise tree-loss breakdowns (tree_module.py:159-169)
+        for k in ("dense_img_rec", "kl"):
+            term = losses.get(k)
+            if term is not None and term.breakdown is not None:
+                n = term.breakdown.shape[-1]
+                if n > 1 and (n & (n + 1)) == 0:  # node axis of a full tree
+                    from video_gcp_tpu.ops.tree_index import per_level_means
+
+                    metrics[k + "_layerwise"] = per_level_means(term.breakdown)
         return new_state, metrics
 
     in_shardings = None

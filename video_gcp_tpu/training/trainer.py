@@ -311,9 +311,14 @@ class ModelTrainer:
             if i % log_interval == 0:
                 metrics = jax.device_get(metrics)
                 step = int(self.state.step)
+                scalars = {k: v for k, v in metrics.items()
+                           if np.ndim(v) == 0}
                 self.logger.log_scalar_dict(
-                    {k + "_loss": v for k, v in metrics.items()}, step, "train"
+                    {k + "_loss": v for k, v in scalars.items()}, step, "train"
                 )
+                for k, v in metrics.items():
+                    if np.ndim(v) > 0:
+                        self.logger.log_graph(v, k, step, "train")
                 if not bool(metrics.get("grads_finite", True)):
                     self._dump_debug_data(batch, metrics, step)
                 t2 = time.time()
