@@ -59,20 +59,34 @@ class DataLoader:
         self._epoch += 1
 
     def __iter__(self) -> Iterator[AttrDict]:
+        import queue as _queue
+        import threading
+
         stream = self._index_stream()
+        done = object()
+        q: "_queue.Queue" = _queue.Queue(maxsize=max(self.prefetch, 1))
+        stop = threading.Event()
 
-        def batches_np():
-            with concurrent.futures.ThreadPoolExecutor(self.num_workers) as pool:
-                while True:
-                    idx = list(itertools.islice(stream, self.batch_size))
-                    if len(idx) < self.batch_size and (self.drop_last or not idx):
-                        return
-                    examples = list(pool.map(self.dataset.__getitem__, idx))
-                    yield _stack_batch(examples)
+        def producer():
+            try:
+                with concurrent.futures.ThreadPoolExecutor(
+                    self.num_workers
+                ) as pool:
+                    while not stop.is_set():
+                        idx = list(itertools.islice(stream, self.batch_size))
+                        if len(idx) < self.batch_size and (
+                            self.drop_last or not idx
+                        ):
+                            break
+                        examples = list(
+                            pool.map(self.dataset.__getitem__, idx)
+                        )
+                        q.put(_stack_batch(examples))
+            finally:
+                q.put(done)
 
-        # double-buffered device prefetch
-        queue = collections.deque()
-        it = batches_np()
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
 
         def put(batch_np):
             if self.sharding is not None:
@@ -81,9 +95,17 @@ class DataLoader:
                 )
             return jax.tree_util.tree_map(jax.device_put, batch_np)
 
-        for batch in it:
-            queue.append(put(batch))
-            if len(queue) > self.prefetch:
-                yield queue.popleft()
-        while queue:
-            yield queue.popleft()
+        # device-transfer double buffer on top of the host producer queue
+        pending = collections.deque()
+        try:
+            while True:
+                batch = q.get()
+                if batch is done:
+                    break
+                pending.append(put(batch))
+                if len(pending) > 1:
+                    yield pending.popleft()
+            while pending:
+                yield pending.popleft()
+        finally:
+            stop.set()

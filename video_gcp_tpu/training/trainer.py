@@ -193,11 +193,14 @@ class ModelTrainer:
 
         sharding = batch_sharding(self.mesh) if getattr(self, "mesh", None) else None
         bs = self.conf["batch_size"]
+        n_workers = int(os.environ.get("GCP_N_DATA_WORKERS", "8"))
         train_loader = DataLoader(
             train_set, bs, shuffle=True,
             n_repeat=self.conf["epoch_cycles_train"], sharding=sharding,
+            num_workers=n_workers,
         )
-        val_loader = DataLoader(val_set, bs, shuffle=False, sharding=sharding)
+        val_loader = DataLoader(val_set, bs, shuffle=False, sharding=sharding,
+                                num_workers=n_workers)
         return train_loader, val_loader
 
     def _dataset_class(self):
