@@ -292,8 +292,8 @@ class Multiroom2dEnv(BaseEnv):
 
     def render_pos_top_down(self, current_pose, goal_pos, background=None,
                             large_goal=False):
-        img = (self._static_img_topdown.copy() if background is None
-               else background.copy())
+        full = (self._static_img_topdown if background is None
+                else background)
 
         def convert(pos, img_shape):
             pos = np.asarray(pos[:2]).copy()
@@ -301,20 +301,30 @@ class Multiroom2dEnv(BaseEnv):
             return (int(pos[0] * self._topdown_render_scale),
                     img_shape[0] - int(pos[1] * self._topdown_render_scale))
 
-        curr = convert(current_pose, img.shape)
-        goal = convert(goal_pos, img.shape)
+        curr = convert(current_pose, full.shape)
+        goal = convert(goal_pos, full.shape)
         if self._crop_window is not None:
             w = self._crop_window
             curr = (curr[0] + w, curr[1] - w)
             goal = (goal[0] + w, goal[1] - w)
-        cv2.line(img, curr, curr, (0.0, 0, 1.0), 10)
-        cv2.line(img, goal, goal, (0.0, 1.0, 0), 10 if not large_goal else 20)
-        if self._crop_window is not None:
-            w = self._crop_window
+            # copy ONLY the crop window (the full padded background is ~3 MB;
+            # copying it per frame dominated data-loading time)
             curr = (max(w, curr[0]), max(w, curr[1]))
             lower = np.asarray(curr) - w
             upper = np.asarray(curr) + w
-            img = img[lower[1]:upper[1], lower[0]:upper[0]]
+            img = np.ascontiguousarray(
+                full[lower[1]:upper[1], lower[0]:upper[0]]
+            )
+            off = np.array([lower[0], lower[1]])
+            curr_l = (curr[0] - off[0], curr[1] - off[1])
+            goal_l = (goal[0] - off[0], goal[1] - off[1])
+            cv2.line(img, curr_l, curr_l, (0.0, 0, 1.0), 10)
+            cv2.line(img, goal_l, goal_l, (0.0, 1.0, 0),
+                     10 if not large_goal else 20)
+            return img
+        img = full.copy()
+        cv2.line(img, curr, curr, (0.0, 0, 1.0), 10)
+        cv2.line(img, goal, goal, (0.0, 1.0, 0), 10 if not large_goal else 20)
         return img
 
     @property
