@@ -200,3 +200,13 @@ class Evaluator:
         np.save(os.path.join(self._logdir, f"gt_seq_{it}.npy"), to_cf(gt))
         np.save(os.path.join(self._logdir, f"gen_images_{it}.npy"), to_cf(gen))
         np.save(os.path.join(self._logdir, f"full_gen_seq_{it}.npy"), to_cf(full))
+
+        # per-batch prior sample collections (compute_metrics.py seq_samples)
+        first_batch_samples = self.full_evaluation.rand_seqs[0]
+        if first_batch_samples:
+            samples = np.stack(first_batch_samples, 1)  # [B, S, T, H, W, C]
+            np.save(
+                os.path.join(self._logdir, f"seq_samples_{it}.npy"),
+                np.transpose(samples[: self.N_PLOTTED_ELEMENTS],
+                             (0, 1, 2, 5, 3, 4)),
+            )
