@@ -58,7 +58,9 @@ def ssim(
     kern = jnp.tile(kern, (1, 1, 1, c))
 
     def filt(x):
-        # depthwise conv: feature_group_count = C
+        # depthwise conv: feature_group_count = C. precision=HIGHEST: the
+        # variance terms E[x^2] - E[x]^2 cancel catastrophically under the
+        # TPU's default bf16 convolution precision
         return jax.lax.conv_general_dilated(
             x,
             kern,
@@ -66,6 +68,7 @@ def ssim(
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     c1 = 0.01 ** 2

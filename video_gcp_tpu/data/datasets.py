@@ -152,9 +152,10 @@ class VarLenVideoDataset(BaseVideoDataset):
             return int(f["traj_per_file"][()])
 
     def __len__(self):
+        full = len(self.filenames) * self.traj_per_file
         if self.dataset_size != -1:
-            return self.dataset_size
-        return len(self.filenames) * self.traj_per_file
+            return min(self.dataset_size, full)
+        return full
 
     def __getitem__(self, index) -> AttrDict:
         path = self.filenames[index // self.traj_per_file]
