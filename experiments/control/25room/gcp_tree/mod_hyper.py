@@ -53,6 +53,7 @@ h_config.update({
         use_convs=False,
         build_encoder=False,
     ),
+    'decoder_distribution': 'discrete_logistic_mixture',
 })
 h_config.pop("add_weighted_pixel_copy")
 
