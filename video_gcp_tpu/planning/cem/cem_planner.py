@@ -116,7 +116,9 @@ class CEMPlanner:
 
     def _rollout(self, state, goal, samples):
         output = defaultdict(list)
-        n_chunks = max(samples.shape[0] // self._hp.max_rollout_bs, 1)
+        # ceil: the reference floor-divides (cem_planner.py:115-122), silently
+        # dropping the tail when batch_size % max_rollout_bs != 0
+        n_chunks = max(-(-samples.shape[0] // self._hp.max_rollout_bs), 1)
         for i in range(n_chunks):
             chunk = samples[
                 i * self._hp.max_rollout_bs : (i + 1) * self._hp.max_rollout_bs

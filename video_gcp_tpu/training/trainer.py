@@ -369,11 +369,14 @@ class ModelTrainer:
     def _quick_image_metrics(self, batch, rng, acc):
         """Prior-sample PSNR/SSIM/MSE on one val batch (cheap stand-in for the
         full top-of-100 evaluator, which lives in evaluation/)."""
-        out = jax.jit(
-            lambda p, b: self.model.apply(
-                p, b, "test", "prior", rngs={"sample": rng}
+        if not hasattr(self, "_prior_apply"):
+            # cache the jitted fn: a fresh jax.jit per epoch would recompile
+            self._prior_apply = jax.jit(
+                lambda p, b, r: self.model.apply(
+                    p, b, "test", "prior", rngs={"sample": r}
+                )
             )
-        )(self.state.params, batch)
+        out = self._prior_apply(self.state.params, batch, rng)
         pred = self._dense_prediction(out, batch)
         if pred is None:
             return
