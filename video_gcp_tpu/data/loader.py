@@ -67,6 +67,19 @@ class DataLoader:
         q: "_queue.Queue" = _queue.Queue(maxsize=max(self.prefetch, 1))
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            """put that re-checks stop so an abandoned iterator (e.g. a single
+            next(iter(loader))) cannot leave the producer blocked forever."""
+            import queue as _q
+
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except _q.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 with concurrent.futures.ThreadPoolExecutor(
@@ -81,9 +94,10 @@ class DataLoader:
                         examples = list(
                             pool.map(self.dataset.__getitem__, idx)
                         )
-                        q.put(_stack_batch(examples))
+                        if not put_checked(_stack_batch(examples)):
+                            return
             finally:
-                q.put(done)
+                put_checked(done)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

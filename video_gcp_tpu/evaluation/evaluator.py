@@ -64,10 +64,16 @@ class Evaluator:
             )
             denom = jnp.maximum(valid.sum(1), 1)
             m = AttrDict()
-            m.mse = (mse(gen, inputs.traj_seq) * valid).sum(1) / denom
             if use_images:
+                m.mse = (mse(gen, inputs.traj_seq) * valid).sum(1) / denom
                 m.psnr = (psnr(gen, inputs.traj_seq) * valid).sum(1) / denom
                 m.ssim = (ssim(gen, inputs.traj_seq) * valid).sum(1) / denom
+            else:
+                # state-space sequences [B, T, D]: per-frame vector MSE (the
+                # image metrics reduce the trailing 3 axes and would collapse
+                # the batch axis here)
+                err = jnp.mean((gen - inputs.traj_seq) ** 2, axis=-1)
+                m.mse = (err * valid).sum(1) / denom
             full_gen = (
                 breadthfirst2depthfirst(out.tree.images)
                 if "tree" in out else gen

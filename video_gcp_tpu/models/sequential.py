@@ -109,9 +109,12 @@ class SequentialModel(BaseGCPModel):
         if "enc_traj_seq" in inputs:
             xs.x_prime = jnp.moveaxis(inputs.enc_traj_seq[:, 1:], 1, 0)
         if "z" in inputs:
-            xs.z = jnp.moveaxis(inputs.z, 1, 0)
+            # planner-injected latents may arrive with T entries; the rollout
+            # consumes T-1 steps (reference slices via length=T-1,
+            # sequential.py:50-55)
+            xs.z = jnp.moveaxis(inputs.z[:, :t_steps], 1, 0)
         if more is not None:
-            xs.more_context = jnp.moveaxis(more, 1, 0)
+            xs.more_context = jnp.moveaxis(more[:, :t_steps], 1, 0)
 
         _, seq_out = self._scan_cell(carry0, xs, context, mode)
 

@@ -192,5 +192,7 @@ class ImageWrappedLearnedCostFcn(LearnedCostEstimate, ImageCost):
 
     def __call__(self, start_enc, goal_enc):
         start_enc = self._split_state_rollout(start_enc).latent_rollout
-        goal_enc = [s[-1] for s in start_enc]
+        # the reference reuses the LAST rollout's full latent sequence as the
+        # goal for every rollout (cost_fcn.py:115, goal-cond prediction hack)
+        goal_enc = [start_enc[-1] for _ in range(len(start_enc))]
         return LearnedCostEstimate.__call__(self, start_enc, goal_enc)

@@ -84,6 +84,7 @@ class GeneralAgent:
             data_save_dir="", log_dir="",
             make_final_gif=True, make_final_gif_freq=1,
             make_final_gif_pointoverlay=False,
+            gen_xml=(True, 1),  # re-setup env every N trajectories
             start_goal_confs=None, show_progress=False,
             do_not_save_images=False,
         )
@@ -103,6 +104,12 @@ class GeneralAgent:
 
     def sample(self, policy, i_traj):
         self.i_traj = i_traj
+        # periodic env re-setup: the benchmark agent reloads the trajectory's
+        # start/goal configuration here (general_agent.py:110-112,
+        # benchmarking_agent.py:20 forces gen_xml=(True, 1))
+        if self._hp.gen_xml[0]:
+            if i_traj % self._hp.gen_xml[1] == 0 and i_traj > 0:
+                self._setup_world(i_traj)
         traj_ok, obs_dict, policy_outs, agent_data = False, None, None, None
         i_trial = 0
         while not traj_ok and i_trial < self.N_MAX_TRIALS:

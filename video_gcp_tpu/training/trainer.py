@@ -369,6 +369,8 @@ class ModelTrainer:
     def _quick_image_metrics(self, batch, rng, acc):
         """Prior-sample PSNR/SSIM/MSE on one val batch (cheap stand-in for the
         full top-of-100 evaluator, which lives in evaluation/)."""
+        if not self.hp.get("use_convs", True):
+            return  # image metrics over state vectors are meaningless
         if not hasattr(self, "_prior_apply"):
             # cache the jitted fn: a fresh jax.jit per epoch would recompile
             self._prior_apply = jax.jit(
