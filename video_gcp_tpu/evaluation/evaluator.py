@@ -82,47 +82,85 @@ class Evaluator:
 
         self._eval_sample = jax.jit(eval_sample)
 
+        lower_better = top_comp_metric in LOWER_IS_BETTER
+
+        def eval_chunk(params, inputs, rng, n):
+            """Scan n samples in ONE dispatch, tracking the best on device —
+            the reference re-runs the model in a Python loop per sample
+            (compute_metrics.py:135-138); on a remote-TPU setup each dispatch
+            costs tunnel RTT, so the scan collapses 100 round-trips."""
+
+            def step(carry, k):
+                best_val, best_gen, best_full = carry
+                m, gen, full = eval_sample(params, inputs, k)
+                crit = m[top_comp_metric]
+                better = crit < best_val if lower_better else crit > best_val
+                bexp = better.reshape((-1,) + (1,) * (gen.ndim - 1))
+                best_gen = jnp.where(bexp, gen, best_gen)
+                bexp_f = better.reshape((-1,) + (1,) * (full.ndim - 1))
+                best_full = jnp.where(bexp_f, full, best_full)
+                best_val = jnp.where(better, crit, best_val)
+                return (best_val, best_gen, best_full), m
+
+            b = inputs.traj_seq.shape[0]
+            init_val = jnp.full(
+                (b,), jnp.inf if lower_better else -jnp.inf
+            )
+            shapes = jax.eval_shape(eval_sample, params, inputs, rng)
+            gen0 = jnp.zeros(shapes[1].shape, shapes[1].dtype)
+            full0 = jnp.zeros(shapes[2].shape, shapes[2].dtype)
+            keys = jax.random.split(rng, n)
+            carry, metrics = jax.lax.scan(step, (init_val, gen0, full0), keys)
+            return carry, metrics
+
+        self._eval_chunk = jax.jit(eval_chunk, static_argnames="n")
+
     # ------------------------------------------------------------------
+
+    CHUNK = 20  # samples per device dispatch
 
     def eval(self, params, inputs, rng) -> AttrDict:
         """Run the protocol on one batch; returns per-example best metrics."""
         b = inputs.traj_seq.shape[0]
         n = self._top_of
-        buf = AttrDict(mse=np.full((b, n), np.inf))
-        if self._use_images:
-            buf.psnr = np.zeros((b, n))
-            buf.ssim = np.zeros((b, n))
-        best_val = None
-        best_gen = None
-        best_full = None
-        rand_seqs = []
+        lower = self._metric in LOWER_IS_BETTER
+        buf = None
+        best_val = best_gen = best_full = None
 
-        for s in range(n):
-            m, gen, full_gen = self._eval_sample(
-                params, inputs, jax.random.fold_in(rng, s)
+        s = 0
+        while s < n:
+            k = min(self.CHUNK, n - s)
+            (bv, bg, bf), ms = self._eval_chunk(
+                params, inputs, jax.random.fold_in(rng, s), k
             )
-            m = jax.device_get(m)
-            for k in buf:
-                buf[k][:, s] = m[k]
-            crit = m[self._metric]
+            ms = jax.device_get(ms)  # dict of [k, B]
+            if buf is None:
+                buf = AttrDict({key: [] for key in ms})
+            for key in ms:
+                buf[key].append(np.asarray(ms[key]).T)  # -> [B, k]
+            bv = np.asarray(jax.device_get(bv))
             if best_val is None:
-                better = np.ones(b, dtype=bool)
-            elif self._metric in LOWER_IS_BETTER:
-                better = crit < best_val
+                best_val = bv
+                best_gen = np.array(jax.device_get(bg))
+                best_full = np.array(jax.device_get(bf))
             else:
-                better = crit > best_val
-            if better.any():
-                gen_np = np.array(jax.device_get(gen))
-                full_np = np.array(jax.device_get(full_gen))
-                if best_gen is None:
-                    best_gen, best_full = gen_np, full_np
-                    best_val = crit.copy()
-                else:
-                    best_gen[better] = gen_np[better]
-                    best_full[better] = full_np[better]
-                    best_val[better] = crit[better]
-            if s < self.N_PLOTTED_ELEMENTS:
-                rand_seqs.append(np.asarray(jax.device_get(gen)))
+                better = bv < best_val if lower else bv > best_val
+                if better.any():
+                    bg = np.asarray(jax.device_get(bg))
+                    bf = np.asarray(jax.device_get(bf))
+                    best_gen[better] = bg[better]
+                    best_full[better] = bf[better]
+                    best_val[better] = bv[better]
+            s += k
+        buf = AttrDict({key: np.concatenate(v, 1) for key, v in buf.items()})
+
+        # a handful of single prior samples for qualitative dumps
+        rand_seqs = []
+        for s_i in range(min(self.N_PLOTTED_ELEMENTS, n)):
+            _, gen, _ = self._eval_sample(
+                params, inputs, jax.random.fold_in(rng, 10_000 + s_i)
+            )
+            rand_seqs.append(np.asarray(jax.device_get(gen)))
 
         result = AttrDict(
             metrics=buf,
