@@ -26,22 +26,42 @@ def is_collision(p, q, rr, obstacle_tree, max_edge_len):
     return bool((dists <= rr).any())
 
 
+def edges_collide(starts, ends, rr, obstacle_tree, max_edge_len):
+    """Batched edge collision: [E, 2] start/end points -> [E] bool.
+
+    All edges are sampled at a uniform resolution finer than rr (the
+    per-edge spacing is length/ceil(max_edge_len/rr) <= rr), so the check is
+    at least as strict as the reference's per-edge rr-spaced walk, with ONE
+    KD-tree query for the whole batch instead of one per edge."""
+    lengths = np.linalg.norm(ends - starts, axis=1)
+    too_long = lengths > max_edge_len
+    n_pts = max(int(np.ceil(max_edge_len / rr)) + 1, 2)
+    ts = np.linspace(0.0, 1.0, n_pts)
+    # [E, n_pts, 2]
+    pts = starts[:, None, :] + (ends - starts)[:, None, :] * ts[None, :, None]
+    dists, _ = obstacle_tree.query(pts.reshape(-1, 2))
+    hits = (dists.reshape(len(starts), n_pts) <= rr).any(axis=1)
+    return hits | too_long
+
+
 def generate_roadmap(sample_x, sample_y, rr, obstacle_tree, params):
-    """k-NN roadmap over the samples (prm.py:125-160)."""
+    """k-NN roadmap over the samples (prm.py:125-160), batched: the k-NN
+    candidate edges for every node are collision-checked in a single
+    vectorized query."""
     pts = np.stack([sample_x, sample_y], axis=1)
     n = len(pts)
     tree = cKDTree(pts)
-    road_map = []
     k = min(params["n_knn"] + 1, n)
-    dists, idxs = tree.query(pts, k=k)
-    for i in range(n):
-        edges = []
-        for j in range(1, k):
-            nb = idxs[i, j]
-            if not is_collision(pts[i], pts[nb], rr, obstacle_tree,
-                                params["max_edge_len"]):
-                edges.append(int(nb))
-        road_map.append(edges)
+    _, idxs = tree.query(pts, k=k)
+    idxs = np.atleast_2d(idxs)
+    src = np.repeat(np.arange(n), k - 1)
+    dst = idxs[:, 1:].reshape(-1)
+    collide = edges_collide(pts[src], pts[dst], rr, obstacle_tree,
+                            params["max_edge_len"])
+    road_map = [[] for _ in range(n)]
+    for i, j, bad in zip(src, dst, collide):
+        if not bad:
+            road_map[i].append(int(j))
     return road_map
 
 
