@@ -138,7 +138,7 @@ class TestTreeOptimizerUnit:
         rollouts = [np.random.rand(7, 8) for _ in range(5)]
         goal = np.random.rand(8)
         opt.optimize(rollouts, goal)
-        assert opt._is_optimized
+        assert opt._frozen[3]  # root (df index 3 in a depth-3 tree) frozen
         z2 = opt.sample()
         # top layer collapsed to optimal z; final layer now optimizing with 4
         assert z2.shape == (4, 7, 3)

@@ -1,11 +1,11 @@
-"""Environment rollout agent with retry-on-failure and obs caching.
+"""Environment rollout agents with retry-on-failure and observation history.
 
-Reference: gcp/planning/infra/agent/general_agent.py:23-340 (Visual-Foresight
-fork) + benchmarking_agent.py:11-94. Runs one trajectory per `sample`: resets
-env, loops policy.act (arguments filled by signature reflection,
-policy.get_policy_args), caches resized observations over time, retries up to
-N_MAX_TRIALS on failure, optionally rejection-samples until the goal is
-reached, and dumps per-trajectory gifs.
+Behavior parity with gcp/planning/infra/agent/general_agent.py:23-340 +
+benchmarking_agent.py:11-94 (one trajectory per `sample`; policy arguments
+filled by signature reflection; retries up to N_MAX_TRIALS; optional
+rejection sampling until the goal is reached; per-trajectory gifs), built
+around an `ObsHistory` buffer object that owns all per-key preallocation and
+history views instead of an inline cache-dict loop.
 """
 from __future__ import annotations
 
@@ -33,28 +33,75 @@ class Environment_Exception(Exception):
     pass
 
 
+def _fit_image(img, h, w):
+    if img.shape[0] == h and img.shape[1] == w:
+        return img
+    return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+
+
 def resize_store(t, target_array, input_array):
-    """Resize per-camera images into the cache (im_utils.resize_store)."""
-    target_h, target_w = target_array.shape[2:4]
-    for c in range(input_array.shape[0]):
-        img = input_array[c]
-        if img.shape[0] != target_h or img.shape[1] != target_w:
-            img = cv2.resize(img, (target_w, target_h),
-                             interpolation=cv2.INTER_AREA)
-        target_array[t, c] = img
+    """Resize per-camera frames into row t of the cache (im_utils)."""
+    h, w = target_array.shape[2:4]
+    target_array[t] = np.stack([_fit_image(im, h, w) for im in input_array])
 
 
 def npy_to_gif(images, path, fps=4):
-    """Save frame list as gif (im_utils.npy_to_gif); falls back to mp4-less
-    PNG strip when imageio is unavailable."""
+    """Save a frame list as gif (im_utils.npy_to_gif); falls back to a PNG
+    film-strip when imageio is unavailable."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     try:
         import imageio
-
-        imageio.mimsave(path + ".gif", images, fps=fps)
     except ImportError:
         strip = np.concatenate(images[:: max(len(images) // 10, 1)], axis=1)
         cv2.imwrite(path + ".png", strip[..., ::-1])
+        return
+    imageio.mimsave(path + ".gif", images, fps=fps)
+
+
+class ObsHistory:
+    """Typed per-key observation history over one rollout.
+
+    On the first observation every key gets a [horizon, ...] buffer: images a
+    uint8 buffer of the agent's camera geometry (frames are resized in),
+    other arrays a same-shape/dtype buffer, everything else a plain list.
+    `record` appends; `view` returns the history-so-far per key.
+    """
+
+    def __init__(self, horizon, ncam, height, width, nchannels):
+        self._horizon = horizon
+        self._img_shape = (ncam, height, width, nchannels)
+        self._buffers = None
+        self._t = 0
+
+    def record(self, env_obs):
+        if self._buffers is None:
+            self._buffers = {k: self._alloc(k, v) for k, v in env_obs.items()}
+        t = self._t
+        for k, v in env_obs.items():
+            buf = self._buffers[k]
+            if k == "images":
+                resize_store(t, buf, v)
+            elif isinstance(buf, list):
+                buf.append(v)
+            else:
+                buf[t] = v
+        self._t += 1
+
+    def _alloc(self, key, value):
+        if key == "images":
+            return np.zeros((self._horizon,) + self._img_shape, dtype=np.uint8)
+        if isinstance(value, np.ndarray):
+            return np.zeros((self._horizon,) + value.shape, dtype=value.dtype)
+        return []
+
+    def view(self):
+        return {k: buf if isinstance(buf, list) else buf[: self._t]
+                for k, buf in self._buffers.items()}
+
+    def latest_frame(self, cam=0):
+        if "images" not in self._buffers:
+            return None
+        return self._buffers["images"][self._t - 1, cam]
 
 
 class GeneralAgent:
@@ -70,6 +117,7 @@ class GeneralAgent:
         self._goal_image = None
         self._demo_images = None
         self._reset_state = None
+        self.gif_images_traj, self.topdown_images = [], []
         self._setup_world(0)
 
     def override_defaults(self, config):
@@ -103,99 +151,75 @@ class GeneralAgent:
     # ------------------------------------------------------------------
 
     def sample(self, policy, i_traj):
+        """One trajectory: re-setup the env when due (the benchmark agent
+        reloads start/goal configs here, benchmarking_agent.py:20), then
+        retry rollouts until one is valid."""
         self.i_traj = i_traj
-        # periodic env re-setup: the benchmark agent reloads the trajectory's
-        # start/goal configuration here (general_agent.py:110-112,
-        # benchmarking_agent.py:20 forces gen_xml=(True, 1))
-        if self._hp.gen_xml[0]:
-            if i_traj % self._hp.gen_xml[1] == 0 and i_traj > 0:
-                self._setup_world(i_traj)
-        traj_ok, obs_dict, policy_outs, agent_data = False, None, None, None
-        i_trial = 0
-        while not traj_ok and i_trial < self.N_MAX_TRIALS:
-            i_trial += 1
+        if self._hp.gen_xml[0] and i_traj > 0 \
+                and i_traj % self._hp.gen_xml[1] == 0:
+            self._setup_world(i_traj)
+
+        result = (None, None, None)
+        for i_trial in range(1, self.N_MAX_TRIALS + 1):
             try:
-                agent_data, obs_dict, policy_outs = self.rollout(
-                    policy, i_trial, i_traj
-                )
-                traj_ok = agent_data["traj_ok"]
+                result = self.rollout(policy, i_trial, i_traj)
             except Image_Exception:
-                traj_ok = False
-        if self._hp.make_final_gif:
-            if i_traj % self._hp.make_final_gif_freq == 0:
-                self.save_gif(i_traj)
+                continue
+            if result[0]["traj_ok"]:
+                break
+
+        if self._hp.make_final_gif and i_traj % self._hp.make_final_gif_freq == 0:
+            self.save_gif(i_traj)
         self._reset_state = None
-        return agent_data, obs_dict, policy_outs
+        return result
 
     def rollout(self, policy, i_trial, i_traj):
-        self._init()
+        self.gif_images_traj, self.topdown_images = [], []
+        self._history = ObsHistory(
+            self._hp.T + 1, self._hp.ncam, self._hp.image_height,
+            self._hp.image_width, self._hp.nchannels)
         agent_data, policy_outputs = {}, []
-        t = 0
-        done = self._hp.T <= 0
+
         initial_env_obs, self._reset_state = self.env.reset(self._reset_state)
-        obs = self._post_process_obs(initial_env_obs, agent_data, True)
+        obs = self._record_obs(initial_env_obs, agent_data)
         policy.reset()
+
+        t, done = 0, self._hp.T <= 0
         while not done:
             pi_t = policy.act(
-                **get_policy_args(policy, obs, t, i_traj, agent_data)
-            )
+                **get_policy_args(policy, obs, t, i_traj, agent_data))
             policy_outputs.append(pi_t)
             if "done" in pi_t:
                 done = pi_t["done"]
             try:
-                obs = self._post_process_obs(
-                    self.env.step(pi_t["actions"]), agent_data
-                )
+                obs = self._record_obs(self.env.step(pi_t["actions"]),
+                                       agent_data)
             except Environment_Exception:
                 return {"traj_ok": False}, None, None
-            if (self._hp.T - 1) == t or obs["env_done"][-1]:
+            if t == self._hp.T - 1 or obs["env_done"][-1]:
                 done = True
             t += 1
 
         traj_ok = self.env.valid_rollout()
-        if self._hp.rejection_sample:
-            if self._hp.rejection_sample > i_trial:
-                traj_ok = self.env.goal_reached()
+        if self._hp.rejection_sample and self._hp.rejection_sample > i_trial:
+            traj_ok = self.env.goal_reached()
         self._required_rollout_metadata(agent_data, traj_ok, t, i_trial)
         return agent_data, obs, policy_outputs
 
-    def _post_process_obs(self, env_obs, agent_data, initial_obs=False):
-        h, w = self._hp.image_height, self._hp.image_width
-        if initial_obs:
-            t_cache = self._hp.T + 1
-            self._agent_cache = {}
-            for k in env_obs:
-                if k == "images":
-                    self._agent_cache["images"] = np.zeros(
-                        (t_cache, self._hp.ncam, h, w, self._hp.nchannels),
-                        dtype=np.uint8,
-                    )
-                elif isinstance(env_obs[k], np.ndarray):
-                    self._agent_cache[k] = np.zeros(
-                        (t_cache,) + env_obs[k].shape, dtype=env_obs[k].dtype
-                    )
-                else:
-                    self._agent_cache[k] = []
-            self._cache_cntr = 0
+    def _record_obs(self, env_obs, agent_data):
+        """Append an env observation; return the history view plus the
+        standing goal/demo/reset metadata."""
+        self._history.record(env_obs)
+        frame = self._history.latest_frame()
+        if frame is not None:
+            self.gif_images_traj.append(frame)
 
-        t = self._cache_cntr
-        self._cache_cntr += 1
-        obs = {}
-        for k in env_obs:
-            if k == "images":
-                resize_store(t, self._agent_cache["images"], env_obs["images"])
-                self.gif_images_traj.append(self._agent_cache["images"][t, 0])
-            elif isinstance(env_obs[k], np.ndarray):
-                self._agent_cache[k][t] = env_obs[k]
-            else:
-                self._agent_cache[k].append(env_obs[k])
-            obs[k] = self._agent_cache[k][: self._cache_cntr]
-        if self._goal_image is not None:
-            agent_data["goal_image"] = self._goal_image
-        if self._goal is not None:
-            agent_data["goal"] = self._goal
-        if self._demo_images is not None:
-            agent_data["demo_images"] = self._demo_images
+        obs = self._history.view()
+        for key, value in (("goal_image", self._goal_image),
+                           ("goal", self._goal),
+                           ("demo_images", self._demo_images)):
+            if value is not None:
+                agent_data[key] = value
         if self._reset_state is not None:
             agent_data["reset_state"] = self._reset_state
             obs["reset_state"] = self._reset_state
@@ -211,11 +235,10 @@ class GeneralAgent:
         agent_data["traj_ok"] = traj_ok
 
     def save_gif(self, i_traj, overlay=False):
-        path = os.path.join(self._hp.log_dir, f"verbose/traj{i_traj}/video")
-        npy_to_gif(self.gif_images_traj, path)
-
-    def _init(self):
-        self.gif_images_traj, self.topdown_images = [], []
+        if self.gif_images_traj:
+            npy_to_gif(self.gif_images_traj,
+                       os.path.join(self._hp.log_dir,
+                                    f"verbose/traj{i_traj}/video"))
 
 
 class BenchmarkAgent(GeneralAgent):
@@ -241,30 +264,25 @@ class BenchmarkAgent(GeneralAgent):
         return self.env.get_reset_from_obs(obs_dict)
 
     def _load_raw_data(self, itr):
-        """Reverse of RawSaver.save_raw_data (benchmarking_agent.py:39-91)."""
-        ngroup = 1000
-        igrp = itr // ngroup
-        traj_folder = os.path.join(
-            self._start_goal_confs, f"traj_group{igrp}", f"traj{itr}"
-        )
-        num_files = len(glob.glob(f"{traj_folder}/images0/*.png"))
-        assert num_files > 0, f"no files found in {traj_folder}!"
+        """Reverse of RawSaver.save_raw_data (benchmarking_agent.py:39-91):
+        demo start/goal images + the env reset state from obs_dict.pkl."""
+        folder = os.path.join(self._start_goal_confs,
+                              f"traj_group{itr // 1000}", f"traj{itr}")
+        n_frames = len(glob.glob(os.path.join(folder, "images0", "*.png")))
+        assert n_frames > 0, f"no files found in {folder}!"
 
-        obs_dict = {}
         h, w = self._hp.image_height, self._hp.image_width
-        demo_images = np.zeros((num_files, self.ncam, h, w, 3))
-        for t in [0, num_files - 1]:
+        demo = np.zeros((n_frames, self.ncam, h, w, 3))
+        for t in (0, n_frames - 1):
             for c in range(self.ncam):
-                image_file = f"{traj_folder}/images{c}/im_{t}.png"
-                img = cv2.imread(image_file)[..., ::-1]
-                if img.shape[0] != h or img.shape[1] != w:
-                    img = cv2.resize(img, (w, h))
-                demo_images[t, c] = img
-        self._demo_images = demo_images.astype(np.float32) / 255.0
+                bgr = cv2.imread(os.path.join(folder, f"images{c}",
+                                              f"im_{t}.png"))
+                demo[t, c] = _fit_image(bgr[..., ::-1], h, w)
+        self._demo_images = demo.astype(np.float32) / 255.0
         self._goal_image = self._demo_images[-1]
 
-        with open(f"{traj_folder}/obs_dict.pkl", "rb") as f:
-            obs_dict.update(pickle.load(f))
+        with open(os.path.join(folder, "obs_dict.pkl"), "rb") as f:
+            obs_dict = dict(pickle.load(f))
         self._goal = self.env.get_goal_from_obs(obs_dict)
         return self.env.get_reset_from_obs(obs_dict)
 
@@ -279,29 +297,27 @@ class BenchmarkAgentLoadHDF5(BenchmarkAgent):
 
         path = self._start_goal_confs
         if not path.endswith(".h5"):
-            import glob as _glob
-
-            files = sorted(_glob.glob(os.path.join(path, "**/*.h5"),
-                                      recursive=True))
+            files = sorted(glob.glob(os.path.join(path, "**/*.h5"),
+                                     recursive=True))
             assert files, f"no h5 files under {path}"
-            path = files[itr % len(files)]
-            itr = itr // len(files)
+            path, itr = files[itr % len(files)], itr // len(files)
         with h5py.File(path, "r") as f:
-            tpf = int(f["traj_per_file"][()])
-            key = f"traj{itr % tpf}"
-            states = f[key + "/states"][()]
-            pad_mask = f[key + "/pad_mask"][()]
+            key = f"traj{itr % int(f['traj_per_file'][()])}"
+            states = f[f"{key}/states"][()]
+            pad_mask = f[f"{key}/pad_mask"][()]
             end = int(np.argmax(pad_mask * np.arange(len(pad_mask))))
-            images = f[key + "/images"][()] if key + "/images" in f else None
+            images = (f[f"{key}/images"][()]
+                      if f"{key}/images" in f else None)
+
         if images is not None:
             h, w = self._hp.image_height, self._hp.image_width
             goal_img = images[end].astype(np.float32) / 255.0
             if goal_img.ndim == 3:
                 goal_img = goal_img[None]
             self._goal_image = np.stack(
-                [cv2.resize(goal_img[c], (w, h)) for c in range(goal_img.shape[0])]
-            )[None]
+                [cv2.resize(goal_img[c], (w, h))
+                 for c in range(goal_img.shape[0])])[None]
             self._demo_images = None
-        self._goal = states[end, -2:] if states.shape[-1] > 3 else states[end, :2]
-        start = states[0]
-        return np.concatenate([start[:2], [0.0], self._goal])
+        self._goal = (states[end, -2:] if states.shape[-1] > 3
+                      else states[end, :2])
+        return np.concatenate([states[0][:2], [0.0], self._goal])

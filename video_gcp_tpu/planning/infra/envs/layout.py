@@ -1,15 +1,18 @@
 """2-D multiroom maze layout: wall geometry, doors, samplers, top-down render.
 
-Reference: gcp/planning/infra/envs/miniworld_env/utils/multiroom2d_layout.py and
-sampling_fcns.py. Deterministic generation (MAZE_SEED=42, MULTIMODAL=True)
-reproduces the published room/door topology exactly. Rendering uses flat
-per-room colors when the dataset texture pack is absent (the reference loads
-textures shipped with the nav datasets).
+Behavior parity with gcp/planning/infra/envs/miniworld_env/utils/
+multiroom2d_layout.py + sampling_fcns.py (deterministic MAZE_SEED=42,
+MULTIMODAL=True topology; same coords2ridx convention; same wall-pixel
+rendering), built differently: the maze is modelled as a room grid + door-edge
+set, walls are an explicit segment table (`wall_segments`) that is rasterized
+into the obstacle point cloud and drawn directly — no per-line drawing
+callbacks. Rooms are textured from the nav-dataset texture pack when it is
+available (multiroom2d_layout.py:195-295) and fall back to deterministic flat
+colors otherwise.
 """
 from __future__ import annotations
 
 import os
-import queue
 from random import Random
 
 import numpy as np
@@ -29,204 +32,330 @@ MAZE_SEED = 42
 MULTIMODAL = True
 NON_SYMMETRIC = False
 
-
-def define_layout_raw(rooms_per_side, _add_horizontal_line=None,
-                      _add_vertical_line=None):
-    """Wall segment point clouds + door list (multiroom2d_layout.py:20-78)."""
-    if _add_vertical_line is None:
-        coord_offset = 0.5 * rooms_per_side * ROOM_SIZE
-
-        def _add_horizontal_line(x_range, y):
-            ox = np.linspace(x_range[0], x_range[1],
-                             int((x_range[1] - x_range[0] + 1) * 100))
-            oy = y * np.ones_like(ox)
-            return np.stack([ox, oy], axis=0) - coord_offset
-
-        def _add_vertical_line(y_range, x):
-            oy = np.linspace(y_range[0], y_range[1],
-                             int((y_range[1] - y_range[0] + 1) * 100))
-            ox = x * np.ones_like(oy)
-            return np.stack([ox, oy], axis=0) - coord_offset
-
-    table_size = ROOM_SIZE * rooms_per_side
-    o = _add_horizontal_line([0, table_size], 0)
-    o = np.concatenate((o, _add_horizontal_line([0, table_size], table_size)), axis=1)
-    o = np.concatenate((o, _add_vertical_line([0, table_size], 0)), axis=1)
-    o = np.concatenate((o, _add_vertical_line([0, table_size], table_size)), axis=1)
-
-    rng = Random()
-    rng.seed(MAZE_SEED)
-    for wall_add_fcn in [_add_horizontal_line, _add_vertical_line]:
-        for r in range(rooms_per_side):
-            o = np.concatenate(
-                (o, wall_add_fcn([0, ROOM_SIZE / 2 - DOOR_SIZE / 2],
-                                 (r + 1) * ROOM_SIZE)), axis=1)
-            for seg_idx in range(rooms_per_side - 1):
-                if NON_SYMMETRIC and rng.random() < 0.1:
-                    continue
-                o = np.concatenate(
-                    (o, wall_add_fcn(
-                        [(2 * seg_idx + 1) * ROOM_SIZE / 2 + DOOR_SIZE / 2,
-                         (2 * (seg_idx + 1) + 1) * ROOM_SIZE / 2 - DOOR_SIZE / 2],
-                        (r + 1) * ROOM_SIZE)), axis=1)
-            o = np.concatenate(
-                (o, wall_add_fcn(
-                    [(rooms_per_side - 0.5) * ROOM_SIZE + DOOR_SIZE / 2,
-                     rooms_per_side * ROOM_SIZE],
-                    (r + 1) * ROOM_SIZE)), axis=1)
-
-    doors = gen_doors_multimodal(rooms_per_side) if MULTIMODAL \
-        else generate_maze(rooms_per_side)
-    for rx in range(rooms_per_side):
-        for ry in range(rooms_per_side):
-            if rx + 1 < rooms_per_side and (
-                ((rx, ry), (rx + 1, ry)) not in doors
-                and ((rx + 1, ry), (rx, ry)) not in doors
-            ):
-                door_center = ROOM_SIZE / 2 + ry * ROOM_SIZE
-                o = np.concatenate(
-                    (o, _add_vertical_line(
-                        [door_center - DOOR_SIZE / 2, door_center + DOOR_SIZE / 2],
-                        (rx + 1) * ROOM_SIZE)), axis=1)
-            if ry + 1 < rooms_per_side and (
-                ((rx, ry), (rx, ry + 1)) not in doors
-                and ((rx, ry + 1), (rx, ry)) not in doors
-            ):
-                door_center = ROOM_SIZE / 2 + rx * ROOM_SIZE
-                o = np.concatenate(
-                    (o, _add_horizontal_line(
-                        [door_center - DOOR_SIZE / 2, door_center + DOOR_SIZE / 2],
-                        (ry + 1) * ROOM_SIZE)), axis=1)
-
-    def coords2ridx(x, y):
-        return x * rooms_per_side + (rooms_per_side - 1) - y
-
-    doors = [sorted((coords2ridx(*d[0]), coords2ridx(*d[1]))) for d in doors]
-    return o, ROBOT_SIZE, table_size, doors
+# obstacle point-cloud resolution: spacing << ROBOT_SIZE so PRM edges cannot
+# thread between obstacle points
+_POINT_SPACING = 0.004
 
 
-def generate_maze(rooms_per_side):
-    """Depth-first maze without shortcuts (multiroom2d_layout.py:84-105)."""
-    doors = []
-    rng = Random()
-    rng.seed(MAZE_SEED)
-    visited = []
-    neighbors = [(0, 1), (1, 0), (-1, 0), (0, -1)]
+# ---------------------------------------------------------------------------
+# door topology
+# ---------------------------------------------------------------------------
 
-    def visit(x, y):
-        visited.append((x, y))
-        rng.shuffle(neighbors)
-        for dx, dy in neighbors.copy():
-            nx, ny = x + dx, y + dy
-            if nx < 0 or nx >= rooms_per_side or ny < 0 or ny >= rooms_per_side:
-                continue
-            if (nx, ny) in visited:
-                continue
-            doors.append(((x, y), (nx, ny)))
-            visit(nx, ny)
+# Walls removed from the fully-connected room grid to form the published
+# multimodal layouts (spec constants, multiroom2d_layout.py:108-155; entries
+# outside the grid are ignored there via `maybe_remove` and here via the
+# intersection with the valid edge set).
+_REMOVED_WALLS = {
+    3: [((1, 1), (1, 2)), ((1, 1), (1, 0))],
+    4: [((0, 3), (1, 3)), ((1, 0), (2, 0)), ((2, 1), (3, 1)),
+        ((2, 2), (3, 2)), ((2, 3), (3, 3)), ((1, 3), (1, 4))],
+    5: [((0, 3), (1, 3)), ((1, 0), (2, 0)), ((2, 1), (3, 1)),
+        ((2, 2), (3, 2)), ((2, 3), (3, 3)), ((1, 3), (1, 4)),
+        ((1, 1), (1, 2)), ((2, 1), (2, 2)), ((3, 1), (3, 2)),
+        ((4, 2), (4, 3))],
+}
 
-    visit(0, 0)
-    return doors
+
+def _grid_edges(rooms_per_side):
+    """Every neighboring room pair of the grid, in a fixed scan order."""
+    edges = []
+    for x in range(rooms_per_side):
+        for y in range(rooms_per_side):
+            if x + 1 < rooms_per_side:
+                edges.append(((x, y), (x + 1, y)))
+            if y + 1 < rooms_per_side:
+                edges.append(((x, y), (x, y + 1)))
+    return edges
 
 
 def gen_doors_multimodal(rooms_per_side):
-    """Open layout with selected walls removed (multiroom2d_layout.py:108-155)."""
-    doors = []
-    neighbors = [(0, 1), (1, 0), (-1, 0), (0, -1)]
+    """Open multi-path layout: all grid edges minus the removed-wall table."""
+    if rooms_per_side not in _REMOVED_WALLS:
+        raise NotImplementedError(
+            f"no multimodal layout defined for {rooms_per_side} rooms/side")
+    removed = {frozenset(e) for e in _REMOVED_WALLS[rooms_per_side]}
+    return [e for e in _grid_edges(rooms_per_side)
+            if frozenset(e) not in removed]
 
-    def add_doors(x, y):
-        for dx, dy in neighbors.copy():
-            nx, ny = x + dx, y + dy
-            if nx < 0 or nx >= rooms_per_side or ny < 0 or ny >= rooms_per_side:
+
+def generate_maze(rooms_per_side):
+    """Single-path DFS maze (multiroom2d_layout.py:84-105), iterative.
+
+    Reproduces the reference's RNG discipline: one shared neighbor-order list
+    reshuffled on every room visit, with each room iterating over the order
+    snapshot taken at its own visit time.
+    """
+    rng = Random(MAZE_SEED)
+    order = [(0, 1), (1, 0), (-1, 0), (0, -1)]
+    doors, seen = [], {(0, 0)}
+
+    def visit_order():
+        rng.shuffle(order)
+        return iter(list(order))
+
+    stack = [((0, 0), visit_order())]
+    while stack:
+        (x, y), it = stack[-1]
+        for dx, dy in it:
+            nxt = (x + dx, y + dy)
+            if not (0 <= nxt[0] < rooms_per_side
+                    and 0 <= nxt[1] < rooms_per_side) or nxt in seen:
                 continue
-            if ((x, y), (nx, ny)) in doors or ((nx, ny), (x, y)) in doors:
-                continue
-            doors.append(((x, y), (nx, ny)))
-            add_doors(nx, ny)
-
-    add_doors(0, 0)
-
-    def maybe_remove(r1, r2):
-        if (r1, r2) in doors:
-            doors.remove((r1, r2))
-        elif (r2, r1) in doors:
-            doors.remove((r2, r1))
-
-    if rooms_per_side == 3:
-        maybe_remove((1, 1), (1, 2))
-        maybe_remove((1, 1), (1, 0))
-    elif rooms_per_side == 4:
-        for pair in [((0, 3), (1, 3)), ((1, 0), (2, 0)), ((2, 1), (3, 1)),
-                     ((2, 2), (3, 2)), ((2, 3), (3, 3)), ((1, 3), (1, 4))]:
-            maybe_remove(*pair)
-    elif rooms_per_side == 5:
-        for pair in [((0, 3), (1, 3)), ((1, 0), (2, 0)), ((2, 1), (3, 1)),
-                     ((2, 2), (3, 2)), ((2, 3), (3, 3)), ((1, 3), (1, 4)),
-                     ((1, 1), (1, 2)), ((2, 1), (2, 2)), ((3, 1), (3, 2)),
-                     ((4, 2), (4, 3))]:
-            maybe_remove(*pair)
-    else:
-        raise NotImplementedError
+            seen.add(nxt)
+            doors.append(((x, y), nxt))
+            stack.append((nxt, visit_order()))
+            break
+        else:
+            stack.pop()
     return doors
 
 
+def _cell2ridx(rooms_per_side, x, y):
+    """Room-grid cell -> serialized room index (column-major, y flipped)."""
+    return x * rooms_per_side + (rooms_per_side - 1) - y
+
+
+# ---------------------------------------------------------------------------
+# wall geometry
+# ---------------------------------------------------------------------------
+
+
+def wall_segments(rooms_per_side):
+    """Explicit wall geometry of the maze.
+
+    Returns (segments, doors): `segments` is a float array [S, 4] of
+    (x0, y0, x1, y1) in table coordinates (origin at the lower-left corner),
+    `doors` the list of door edges as room-grid cell pairs. Matches the
+    reference construction's pixel/point union: solid border, interior grid
+    lines solid except a DOOR_SIZE gap at each doorway (and, when
+    NON_SYMMETRIC, randomly dropped interior pieces).
+    """
+    R, D = ROOM_SIZE, DOOR_SIZE
+    table = R * rooms_per_side
+    doors = (gen_doors_multimodal(rooms_per_side) if MULTIMODAL
+             else generate_maze(rooms_per_side))
+    door_set = {frozenset(e) for e in doors}
+    rng = Random(MAZE_SEED)  # consumed only when NON_SYMMETRIC
+
+    segs = [
+        (0.0, 0.0, table, 0.0), (0.0, table, table, table),
+        (0.0, 0.0, 0.0, table), (table, 0.0, table, table),
+    ]
+
+    # every potential doorway on a grid line sits at a room-center crossing;
+    # cut the line there, then close the cut back up where no door exists
+    gap_centers = (np.arange(rooms_per_side) + 0.5) * R
+
+    def line_pieces():
+        """(lo, hi) wall pieces of one grid line between doorway cuts."""
+        cuts = np.concatenate(
+            [[0.0], np.repeat(gap_centers, 2)
+             + np.tile([-D / 2, D / 2], rooms_per_side), [table]])
+        pieces = list(zip(cuts[0::2], cuts[1::2]))
+        if NON_SYMMETRIC:
+            pieces = [p for j, p in enumerate(pieces)
+                      if not (0 < j < len(pieces) - 1 and rng.random() < 0.1)]
+        return pieces
+
+    for horizontal in (True, False):
+        for i in range(1, rooms_per_side + 1):
+            line = i * R
+            for lo, hi in line_pieces():
+                segs.append((lo, line, hi, line) if horizontal
+                            else (line, lo, line, hi))
+            if i == rooms_per_side:
+                continue  # outer boundary: fully closed by the border
+            for k, c in enumerate(gap_centers):
+                # rooms on either side of this doorway cut
+                pair = (((k, i - 1), (k, i)) if horizontal
+                        else ((i - 1, k), (i, k)))
+                if frozenset(pair) not in door_set:
+                    segs.append((c - D / 2, line, c + D / 2, line)
+                                if horizontal
+                                else (line, c - D / 2, line, c + D / 2))
+
+    return np.asarray(segs, dtype=np.float64), doors
+
+
+def _rasterize(segments, spacing=_POINT_SPACING):
+    """Segment table [S, 4] -> point cloud [2, N] at <=`spacing` resolution."""
+    chunks = []
+    for x0, y0, x1, y1 in segments:
+        n = int(np.ceil(np.hypot(x1 - x0, y1 - y0) / spacing)) + 1
+        t = np.linspace(0.0, 1.0, n)
+        chunks.append(np.stack([x0 + (x1 - x0) * t, y0 + (y1 - y0) * t]))
+    return np.concatenate(chunks, axis=1)
+
+
+def define_layout_raw(rooms_per_side):
+    """Obstacle point cloud (centered coords) + door list as room-index pairs
+    (multiroom2d_layout.py:20-78)."""
+    segments, doors = wall_segments(rooms_per_side)
+    table_size = ROOM_SIZE * rooms_per_side
+    o = _rasterize(segments) - table_size / 2
+    door_idx = [sorted((_cell2ridx(rooms_per_side, *a),
+                        _cell2ridx(rooms_per_side, *b))) for a, b in doors]
+    return o, ROBOT_SIZE, table_size, door_idx
+
+
+# ---------------------------------------------------------------------------
+# textures (multiroom2d_layout.py:182-262)
+# ---------------------------------------------------------------------------
+
+# Room-texture assignment order baked into the published nav datasets: the
+# reference shipped this exact list to stay synchronized with the originally
+# collected data (multiroom2d_layout.py:195-255, "hack to synchronize"), so it
+# is a data constant here too. Room (x, y) uses entry (x*rps + y) % len.
+TEXTURE_FILE_ORDER = [
+    'floor_tiles_white.png', 'lg_style_01_4tile_d_result.png',
+    'lg_style_01_wall_blue_1.png', 'wood_1.png',
+    'lg_style_04_wall_cerise_d_result.png',
+    'lg_style_05_floor_blue_bright_d_result.png', 'cardboard_4.png',
+    'lg_style_03_wall_light_m_result.png', 'lg_style_02_wall_dblue_d_result.png',
+    'lg_style_02_wall_purple_d_result.png', 'cinder_blocks_1.png', 'wood_2.png',
+    'ceiling_tiles_1.png', 'lg_style_03_wall_purple_d_result.png',
+    'airduct_grate_1.png', 'lg_style_03_wall_orange_1.png', 'grass_2.png',
+    'lg_style_01_wall_light_m_result.png',
+    'lg_style_04_wall_purple_d_result.png',
+    'lg_style_03_floor_light1_m_result.png',
+    'lg_style_05_wall_red_d_result.png', 'slime_1.png',
+    'lg_style_05_wall_yellow_d_result.png', 'floor_tiles_bw_1.png',
+    'lg_style_02_floor_orange_d_result.png',
+    'lg_style_05_wall_yellow_bright_d_result.png', 'concrete_1.png',
+    'lg_style_03_wall_gray_d_result.png', 'lg_style_04_wall_red_d_result.png',
+    'lg_style_04_floor_orange_bright_d_result.png',
+    'lg_style_01_floor_orange_bright_d_result.png', 'stucco_1.png',
+    'lg_style_04_wall_green_bright_d_result.png', 'door_steel_brown.png',
+    'lg_style_03_floor_blue_bright_d_result.png', 'lava_1.png',
+    'lg_style_05_floor_light1_m_result.png',
+    'lg_style_01_wall_red_bright_1.png', 'lg_style_01_wall_green_1.png',
+    'lg_style_01_wall_yellow_1.png', 'lg_style_01_wall_red_1.png',
+    'lg_style_02_wall_yellow_d_result.png', 'door_doom_1.png',
+    'wood_planks_1.png', 'lg_style_03_floor_blue_d_result.png',
+    'lg_style_04_floor_blue_d_result.png',
+    'lg_style_03_floor_orange_d_result.png',
+    'lg_style_04_wall_red_bright_d_result.png',
+    'lg_style_02_floor_blue_bright_d_result.png', 'door_garage_white.png',
+    'lg_style_04_floor_blue_bright_d_result.png',
+    'lg_style_01_floor_blue_d_result.png',
+    'lg_style_02_floor_light_m_result.png', 'marble_2.png',
+    'lg_style_04_floor_cyan_d_result.png',
+    'lg_style_05_floor_blue_d_result.png', 'lg_style_01_wall_cerise_1.png',
+    'lg_style_02_wall_yellow_bright_d_result.png',
+    'lg_style_01_floor_blue_bright_d_result.png',
+    'lg_style_04_wall_green_d_result.png', 'drywall_1.png',
+    'lg_style_01_floor_blue_team_d_result.png', 'door_steel_red.png',
+    'lg_style_01_floor_light_m_result.png', 'lg_style_03_wall_cyan_1.png',
+    'marble_1.png', 'picket_fence_1.png', 'door_steel_grey.png', 'water_1.png',
+    'lg_style_02_floor_green_d_result.png',
+    'lg_style_01_floor_orange_d_result.png',
+    'lg_style_01_wall_green_bright_1.png',
+    'lg_style_03_floor_green_bright_d_result.png',
+    'lg_style_04_floor_orange_d_result.png', 'door_garage_red.png',
+    'brick_wall_1.png', 'lg_style_03_wall_gray_bright_d_result.png',
+    'lg_style_03_wall_blue_d_result.png', 'rock_1.png',
+    'lg_style_05_wall_red_bright_d_result.png', 'grass_1.png',
+    'lg_style_03_floor_green_d_result.png',
+    'lg_style_02_floor_green_bright_d_result.png',
+    'lg_style_05_floor_orange_d_result.png', 'door_doom_2.png',
+    'lg_style_02_wall_blue_d_result.png',
+    'lg_style_04_floor_dorange_d_result.png',
+    'lg_style_03_floor_purple_d_result.png',
+    'lg_style_05_floor_orange_bright_d_result.png',
+    'lg_style_01_floor_red_team_d_result.png', 'metal_grill_1.png',
+    'lg_style_02_floor_blue_d_result.png', 'cardboard_3.png',
+    'lg_style_01_ceiling_d_result.png', 'lg_style_01_wall_purple_1.png',
+    'lg_style_03_wall_orange_bright_d_result.png',
+    'lg_style_02_wall_blue_bright_d_result.png', 'cardboard_1.png',
+    'ceiling_tile_noborder_1.png', 'lg_style_02_wall_lgreen_d_result.png',
+    'lg_style_03_floor_red_d_result.png',
+]
+
+
+def default_texture_dir():
+    """Texture pack shipped with the nav datasets, if downloaded; else None
+    (multiroom2d_layout.py:183-190, made non-fatal for texture-less runs)."""
+    data_dir = os.environ.get("GCP_DATA_DIR")
+    if data_dir is None:
+        return None
+    for name in ("nav_9rooms", "nav_25rooms"):
+        path = os.path.join(data_dir, name, "textures")
+        if os.path.isdir(path):
+            return path
+    return None
+
+
+def load_textures(texture_dir):
+    """Per-room texture file order (multiroom2d_layout.py:193-255: the
+    shipped hardcoded order, to stay in sync with the published datasets)."""
+    del texture_dir  # the order is dataset-synchronized, not directory-read
+    return list(TEXTURE_FILE_ORDER)
+
+
 def define_layout(rooms_per_side, texture_dir=None) -> AttrDict:
+    if texture_dir is None:
+        texture_dir = default_texture_dir()
     o, robot_size, table_size, doors = define_layout_raw(rooms_per_side)
-    ox, oy = list(o[0]), list(o[1])
 
     def coords2ridx(x, y):
-        xy_room = [np.floor((c + table_size / 2) / ROOM_SIZE) for c in [x, y]]
-        ridx = xy_room[0] * rooms_per_side + (rooms_per_side - 1) - xy_room[1]
+        cell = [np.floor((c + table_size / 2) / ROOM_SIZE) for c in (x, y)]
+        ridx = cell[0] * rooms_per_side + (rooms_per_side - 1) - cell[1]
         return int(ridx) if np.size(ridx) == 1 else np.asarray(ridx, dtype=int)
 
     return AttrDict(
-        ox=ox, oy=oy, robot_size=robot_size, table_size=table_size,
-        room_size=ROOM_SIZE, door_size=DOOR_SIZE, doors=doors,
-        coords2ridx=coords2ridx, textures=None, texture_dir=texture_dir,
+        ox=list(o[0]), oy=list(o[1]), robot_size=robot_size,
+        table_size=table_size, room_size=ROOM_SIZE, door_size=DOOR_SIZE,
+        doors=doors, coords2ridx=coords2ridx,
+        textures=load_textures(texture_dir) if texture_dir else None,
+        texture_dir=texture_dir,
         multimodal=MULTIMODAL, non_symmetric=NON_SYMMETRIC,
     )
 
 
-_ROOM_COLORS = None
+# ---------------------------------------------------------------------------
+# rendering
+# ---------------------------------------------------------------------------
 
 
-def _room_colors(n):
-    global _ROOM_COLORS
-    rng = np.random.RandomState(7)
-    colors = 0.35 + 0.55 * rng.rand(n, 3)
-    return colors
+def _flat_room_colors(n):
+    """Deterministic distinct flat room colors (texture-less fallback; keeps
+    frames visually distinguishable for the predictor)."""
+    return (0.35 + 0.55 * np.random.RandomState(7).rand(n, 3)).astype(
+        np.float32)
 
 
 def draw_layout_overview(rooms_per_side, render_scale, texture_dir=None,
                          add_textures=True):
-    """Static top-down maze image (multiroom2d_layout.py:265-296).
-
-    Rooms get distinct flat colors (deterministic) when no texture pack is
-    available, so frames remain visually distinguishable for the predictor.
-    """
-    layout = define_layout(rooms_per_side, texture_dir)
-    res = int(layout.table_size * render_scale)
+    """Static top-down maze image (multiroom2d_layout.py:265-296): textured
+    room tiles (nav-dataset pack) or flat-color fallback, walls drawn from the
+    explicit segment table with the reference's pixel mapping."""
+    if texture_dir is None:
+        texture_dir = default_texture_dir()
+    res = int(ROOM_SIZE * rooms_per_side * render_scale)
     room_px = int(res / rooms_per_side)
     img = np.ones((res, res, 3), dtype=np.float32)
-    colors = _room_colors(rooms_per_side ** 2)
-    for x in range(rooms_per_side):
-        for y in range(rooms_per_side):
-            img[y * room_px : (y + 1) * room_px,
-                x * room_px : (x + 1) * room_px] = colors[x * rooms_per_side + y]
 
-    def _add_horizontal_line(x_range, y):
-        cv2.line(img, (int(x_range[0] * render_scale), res - int(y * render_scale - 1)),
-                 (int(x_range[1] * render_scale), res - int(y * render_scale - 1)),
+    textures = load_textures(texture_dir) if texture_dir else None
+    if add_textures:
+        for x in range(rooms_per_side):
+            for y in range(rooms_per_side):
+                tile_idx = x * rooms_per_side + y
+                if textures is not None:
+                    tex = cv2.imread(os.path.join(
+                        texture_dir, textures[tile_idx % len(textures)]))
+                    tile = cv2.resize(
+                        tex, (room_px, room_px))[:, :, ::-1] / 255.0
+                else:
+                    tile = _flat_room_colors(rooms_per_side ** 2)[tile_idx]
+                img[y * room_px:(y + 1) * room_px,
+                    x * room_px:(x + 1) * room_px] = tile
+
+    segments, _ = wall_segments(rooms_per_side)
+    for x0, y0, x1, y1 in segments:
+        cv2.line(img,
+                 (int(x0 * render_scale), res - int(y0 * render_scale - 1)),
+                 (int(x1 * render_scale), res - int(y1 * render_scale - 1)),
                  (0, 0, 0), 3)
-        return np.zeros((2, 1))
-
-    def _add_vertical_line(y_range, x):
-        cv2.line(img, (int(x * render_scale), res - int(y_range[0] * render_scale - 1)),
-                 (int(x * render_scale), res - int(y_range[1] * render_scale - 1)),
-                 (0, 0, 0), 3)
-        return np.zeros((2, 1))
-
-    define_layout_raw(rooms_per_side, _add_horizontal_line, _add_vertical_line)
     return img
 
 
@@ -235,76 +364,79 @@ def draw_layout_overview(rooms_per_side, render_scale, texture_dir=None,
 # ---------------------------------------------------------------------------
 
 
-def _rand(n):
-    return np.random.rand(n) - 0.5
-
-
 class RoomSampler2d:
-    """Uniform room / door state sampling."""
+    """Uniform state sampling inside rooms and doorways.
+
+    Precomputes the centered room-center table once; all sampling is then a
+    lookup + uniform jitter with the appropriate half-width.
+    """
 
     def __init__(self, rooms_per_side, sample_wide=False):
-        self._rooms_per_side = rooms_per_side
-        self._agent_size = 0.02
-        self._sampling_width = 1 / 3 - (not sample_wide) * 3 * self._agent_size
-        self._room_offset = 1 / 3
-        self._door_sampling_width = 1.5 * 0.0667 - 3 * self._agent_size
-        self._hor_door_sampling_width = np.array(
-            [2 * self._agent_size, self._door_sampling_width]
-        )
-        self._vert_door_sampling_width = np.array(
-            [self._door_sampling_width, 2 * self._agent_size]
-        )
+        self._rps = rooms_per_side
+        agent = ROBOT_SIZE
+        self._room_halfwidth = (ROOM_SIZE if sample_wide
+                                else ROOM_SIZE - 3 * agent)
+        door_width = DOOR_SIZE - 3 * agent
+        # doorway jitter: wide along the door opening, narrow across it
+        self._door_halfwidth = {
+            "horizontal": np.array([2 * agent, door_width]),
+            "vertical": np.array([door_width, 2 * agent]),
+        }
+        # centered (x, y) center of each room cell
+        ax = (np.arange(rooms_per_side) + 0.5) * ROOM_SIZE \
+            - rooms_per_side * ROOM_SIZE / 2
+        self._centers = np.stack(
+            np.meshgrid(ax, ax, indexing="ij"), axis=-1)  # [x, y, 2]
+
+    def _cell(self, room_idx):
+        return (room_idx // self._rps,
+                self._rps - 1 - room_idx % self._rps)
+
+    def _center(self, room_idx):
+        return self._centers[self._cell(room_idx)]
+
+    @staticmethod
+    def _jitter(halfwidth):
+        return (np.random.rand(2) - 0.5) * halfwidth
 
     def sample(self, room=None):
         if room is None:
-            room = np.random.randint(self._rooms_per_side ** 2)
-        room = self._ridx2coords(room)
-        center = np.array(
-            [self._room_offset / 2 + i * self._room_offset
-             - self._rooms_per_side / 2 * self._room_offset for i in room]
-        )
-        return _rand(2) * self._sampling_width + center
+            room = np.random.randint(self._rps ** 2)
+        return self._center(room) + self._jitter(self._room_halfwidth)
+
+    def _door_axis(self, room1, room2):
+        """'horizontal' if the doorway connects rooms side by side."""
+        c1, c2 = self._cell(room1), self._cell(room2)
+        if abs(c1[0] - c2[0]) + abs(c1[1] - c2[1]) != 1:
+            raise ValueError("Rooms don't have connection for door.")
+        return "horizontal" if c1[0] != c2[0] else "vertical"
+
+    def get_door_pos(self, room1, room2):
+        assert room1 < room2
+        self._door_axis(room1, room2)  # validates adjacency
+        return 0.5 * (self._center(room1) + self._center(room2))
 
     def sample_door(self, room1, room2, sample_center=False):
         center = self.get_door_pos(room1, room2)
         if sample_center:
             return center
-        r1, r2 = self._ridx2coords(room1), self._ridx2coords(room2)
-        if r1[0] != r2[0] and r1[1] == r2[1]:
-            return _rand(2) * self._hor_door_sampling_width + center
-        if r1[0] == r2[0] and r1[1] != r2[1]:
-            return _rand(2) * self._vert_door_sampling_width + center
-        raise ValueError("Rooms don't have connection for door.")
-
-    def get_door_pos(self, room1, room2):
-        assert room1 < room2
-        r1, r2 = self._ridx2coords(room1), self._ridx2coords(room2)
-        assert abs(r1[0] - r2[0] + r1[1] - r2[1]) == 1
-        return np.array(
-            [self._room_offset / 2 + (i + j) / 2 * self._room_offset
-             - self._rooms_per_side / 2 * self._room_offset
-             for i, j in zip(r1, r2)]
-        )
+        return center + self._jitter(
+            self._door_halfwidth[self._door_axis(room1, room2)])
 
     def get_door_path(self, room1, room2):
-        lefttop = room1 < room2
-        center = self.get_door_pos(min(room1, room2), max(room1, room2))
-        r1, r2 = self._ridx2coords(room1), self._ridx2coords(room2)
-        if r1[0] != r2[0] and r1[1] == r2[1]:
-            offset = np.array([3 * self._door_sampling_width, 0])
-        elif r1[0] == r2[0] and r1[1] != r2[1]:
-            offset = np.array([0, -3 * self._door_sampling_width])
-        else:
-            raise ValueError("Rooms don't have connection for door.")
-        if lefttop:
-            return [center - offset, center, center + offset]
-        return [center + offset, center, center - offset]
+        """Approach point / door center / exit point through a doorway."""
+        lo, hi = min(room1, room2), max(room1, room2)
+        center = self.get_door_pos(lo, hi)
+        span = 3 * (DOOR_SIZE - 3 * ROBOT_SIZE)
+        offset = (np.array([span, 0.0])
+                  if self._door_axis(lo, hi) == "horizontal"
+                  else np.array([0.0, -span]))
+        if room1 > room2:
+            offset = -offset
+        return [center - offset, center, center + offset]
 
     def _ridx2coords(self, room_idx):
-        return (
-            int(np.floor(room_idx / self._rooms_per_side)),
-            int(self._rooms_per_side - 1 - room_idx % self._rooms_per_side),
-        )
+        return self._cell(room_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -312,61 +444,49 @@ class RoomSampler2d:
 # ---------------------------------------------------------------------------
 
 
+def _adjacency(doors):
+    adj = {}
+    for a, b in doors:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    return adj
+
+
 def plan_room_seq(start, goal, doors):
-    """Breadth-first room search."""
-    frontier = queue.Queue()
-    visited = []
-
-    def expand(node):
-        if node["room"] == goal:
-            return node
-        visited.append(node["room"])
-        neighbors = []
-        for d in doors:
-            if d[0] == node["room"] and d[1] not in visited:
-                neighbors.append(d[1])
-            elif d[1] == node["room"] and d[0] not in visited:
-                neighbors.append(d[0])
-        for n in neighbors:
-            frontier.put(dict(room=n, parent=node))
-        return expand(frontier.get())
-
-    linked = expand(dict(room=start, parent=None))
-    path = []
-    while linked is not None:
-        path.append(linked["room"])
-        linked = linked["parent"]
-    return path[::-1]
+    """Shortest room sequence via breadth-first search over the door graph."""
+    adj = _adjacency(doors)
+    parent = {start: None}
+    frontier = [start]
+    while frontier:
+        nxt = []
+        for room in frontier:
+            if room == goal:
+                path = []
+                while room is not None:
+                    path.append(room)
+                    room = parent[room]
+                return path[::-1]
+            for nb in adj.get(room, ()):
+                if nb not in parent:
+                    parent[nb] = room
+                    nxt.append(nb)
+        frontier = nxt
+    raise ValueError(f"no room path from {start} to {goal}")
 
 
 def plan_room_seq_multimodal(start, goal, doors):
-    """All simple paths; returns one at random (prm_policy.py:257-289)."""
-    frontier = queue.Queue()
-    goal_nodes = []
-
-    def collect_path(node):
-        path = []
-        while node is not None:
-            path.append(node["room"])
-            node = node["parent"]
-        return path
-
-    def expand(node):
-        if node["room"] == goal:
-            goal_nodes.append(node)
-        else:
-            for d in doors:
-                if d[0] == node["room"] and d[1] not in collect_path(node):
-                    frontier.put(dict(room=d[1], parent=node))
-                elif d[1] == node["room"] and d[0] not in collect_path(node):
-                    frontier.put(dict(room=d[0], parent=node))
-        if frontier.empty():
-            return
-        expand(frontier.get())
-
-    expand(dict(room=start, parent=None))
-    chosen = goal_nodes[np.random.randint(len(goal_nodes))]
-    return collect_path(chosen)[::-1]
+    """Uniform choice over ALL simple room paths start -> goal, giving the
+    expert data its multimodal route distribution (prm_policy.py:257-289)."""
+    adj = _adjacency(doors)
+    paths, stack = [], [[start]]
+    while stack:
+        path = stack.pop()
+        if path[-1] == goal:
+            paths.append(path)
+            continue
+        stack.extend(path + [nb] for nb in adj.get(path[-1], ())
+                     if nb not in path)
+    return paths[np.random.randint(len(paths))]
 
 
 def render_state_trajectories(n_rooms, inputs, predictions, end_inds,

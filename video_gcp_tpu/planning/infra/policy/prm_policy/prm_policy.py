@@ -1,18 +1,20 @@
 """PRM expert policy for maze navigation data generation.
 
-Reference: gcp/planning/infra/policy/prm_policy/prm_policy.py:12-298.
-BFS room-sequence planning -> per-room/door PRM sampling -> Dijkstra ->
-spline-smoothed state plan -> delta-state actions, with replanning on
-deviation and fallback plans after repeated failures (SURVEY.md §5.3 failure
-handling).
+Behavior parity with gcp/planning/infra/policy/prm_policy/prm_policy.py:12-298
+(room-sequence search -> per-room/door PRM roadmap -> Dijkstra ->
+spline-smoothed state plan -> delta-state actions, replanning on deviation,
+reverse/nudge fallback plans after planner failure — SURVEY.md §5.3), built as
+a pipeline of pure planning functions feeding a small plan-cursor the policy
+steps through.
 """
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 import numpy as np
 from scipy import interpolate
 
 from video_gcp_tpu.core.attrdict import AttrDict
-from video_gcp_tpu.core.params import ParamDict
 from video_gcp_tpu.planning.infra.envs.layout import (
     RoomSampler2d,
     define_layout,
@@ -22,6 +24,106 @@ from video_gcp_tpu.planning.infra.envs.layout import (
 from video_gcp_tpu.planning.infra.policy.policy import Policy
 from video_gcp_tpu.planning.infra.policy.prm_policy.prm import PRM_planning
 
+STEPS_PER_UNIT_LENGTH = 20  # plan discretization (prm_policy.py:175)
+
+
+@dataclass
+class _Plan:
+    """A smoothed state plan and the cursor stepping through its actions."""
+
+    states: np.ndarray  # [2, T]
+    actions: np.ndarray  # [2, T-1] delta-state actions
+    step: int = 0
+
+    @classmethod
+    def from_states(cls, states):
+        return cls(states=states, actions=states[:, 1:] - states[:, :-1])
+
+    def expected_pos(self):
+        """Where the agent should be after `step` executed actions."""
+        return self.states[:, min(self.step, self.states.shape[1] - 1)]
+
+    def pop_action(self):
+        """Next action, or None when the plan is exhausted."""
+        if self.step >= self.actions.shape[1]:
+            return None
+        a = self.actions[:, self.step]
+        self.step += 1
+        return a
+
+    def remaining_reversed(self):
+        """Backtrack plan: the not-yet-executed tail, reversed in sign
+        (failure fallback, prm_policy.py:192-196)."""
+        tail = -2 * self.actions[:, max(self.step - 1, 0):]
+        return _Plan(states=self.states, actions=tail)
+
+
+def _random_nudge():
+    states = 0.02 * np.random.rand(2, 1)
+    return _Plan(states=states, actions=states)
+
+
+# ---------------------------------------------------------------------------
+# planning pipeline (pure functions)
+# ---------------------------------------------------------------------------
+
+
+def roadmap_points(layout, sampler, hp, room_path):
+    """PRM node samples covering the rooms (and optionally doorways) of the
+    route: [2, P] coordinate lists."""
+    rooms = range(hp.n_rooms) if room_path is None else room_path
+    pts = []
+    for room in rooms:
+        n = (int(np.random.choice(PrmPolicy.VAR_SAMPLING_RATES))
+             if hp.use_var_sampling else hp.n_samples_per_room)
+        pts.extend(sampler.sample(room) for _ in range(n))
+    if hp.bottleneck_sampling:
+        if room_path is None:
+            doorways = [tuple(d) for d in layout.doors]
+        else:
+            doorways = [tuple(sorted(pair))
+                        for pair in zip(room_path[:-1], room_path[1:])]
+        pts.extend(
+            sampler.sample_door(a, b, hp.sample_door_center)
+            for a, b in doorways for _ in range(hp.n_samples_per_door))
+    arr = np.asarray(pts).T
+    return list(arr[0]), list(arr[1])
+
+
+def door_waypoint_path(layout, sampler, p1, p2, straight_through_door=False):
+    """Coarse path through door centers and its length
+    (prm_policy.py:198-216). Returns (length, waypoints [K, 2]); out-of-table
+    queries return (10.0, [])."""
+    pts = np.stack([np.asarray(p1), np.asarray(p2)])
+    if (pts < -0.5).any() or (pts > 0.5).any():
+        return 10.0, []
+    rooms = plan_room_seq(layout.coords2ridx(*p1), layout.coords2ridx(*p2),
+                          layout.doors)
+    waypoints = [np.asarray(p1)]
+    for a, b in zip(rooms[:-1], rooms[1:]):
+        if straight_through_door:
+            waypoints.extend(sampler.get_door_path(a, b))
+        else:
+            waypoints.append(sampler.get_door_pos(min(a, b), max(a, b)))
+    waypoints.append(np.asarray(p2))
+    waypoints = np.array(waypoints)
+    length = float(np.linalg.norm(np.diff(waypoints, axis=0), axis=1).sum())
+    return length, waypoints
+
+
+def smooth_plan(path_x, path_y, n_steps):
+    """Cubic-spline resample of a PRM path into an [2, n_steps] state plan;
+    None when the fit degenerates (duplicate points,
+    prm_policy.py:185-189)."""
+    try:
+        tck, _ = interpolate.splprep([path_x, path_y], s=0.0)
+    except (TypeError, ValueError):
+        return None
+    return np.stack(interpolate.splev(np.linspace(0, 1, n_steps), tck))
+
+
+# ---------------------------------------------------------------------------
+
 
 class PrmPolicy(Policy):
     VAR_SAMPLING_RATES = [30, 300]
@@ -29,30 +131,22 @@ class PrmPolicy(Policy):
     def __init__(self, ag_params, policyparams, gpu_id=None, ngpu=None,
                  conversion_fcns=None, n_rooms=None):
         super().__init__()
-        policyparams = dict(policyparams)
-        policyparams["n_rooms"] = n_rooms
-        self.override_defaults(policyparams)
+        self.override_defaults(dict(policyparams, n_rooms=n_rooms))
 
         self._rooms_per_side = int(np.sqrt(self._hp.n_rooms))
         self.layout = define_layout(self._rooms_per_side)
         self.state_sampler = RoomSampler2d(
-            self._rooms_per_side, sample_wide=self.layout.non_symmetric
-        )
-        self.plan_params = dict(
+            self._rooms_per_side, sample_wide=self.layout.non_symmetric)
+        self.convert = conversion_fcns
+        self._prm_params = dict(
             n_knn=self._hp.n_knn,
             max_edge_len=self._hp.max_edge_len,
             cost_fcn=lambda d: d ** self._hp.cost_power,
         )
-        self.current_action = None
-        self.state_plan = None
-        self.action_plan = None
-        self.convert = conversion_fcns
-        self._room_plan = None
+        self.reset()
 
     def reset(self):
-        self.current_action = None
-        self.state_plan = None
-        self.action_plan = None
+        self._plan_cursor = None
         self._room_plan = None
 
     def _default_hparams(self):
@@ -83,173 +177,102 @@ class PrmPolicy(Policy):
 
     def act(self, t=None, i_tr=None, qpos_full=None, goal=None):
         self.i_tr = i_tr
-        output = AttrDict()
-        if self.action_plan is None or self._check_deviate(
-            qpos_full[t, :2],
-            self.state_plan[:, min(self.current_action,
-                                   self.state_plan.shape[1] - 1)],
-        ):
-            self._plan(qpos_full[t], goal[t], t)
-            self.current_action = 0
+        pos = qpos_full[t, :2]
+        needs_plan = self._plan_cursor is None or (
+            np.linalg.norm(pos - self._plan_cursor.expected_pos())
+            > self._hp.replan_eps)
+        if needs_plan:
+            self._replan(qpos_full[t], goal[t], t)
 
-        done = False
-        if self.current_action < self.action_plan.shape[1]:
-            output.actions = self.action_plan[:, self.current_action]
-        else:
-            done = True
-            output.actions = np.zeros(2)
-        self.current_action += 1
-        output.done = done
-        return output
+        action = self._plan_cursor.pop_action()
+        done = action is None
+        return AttrDict(actions=np.zeros(2) if done else action, done=done)
 
-    def _check_deviate(self, pos, target_pos):
-        return np.linalg.norm(pos - target_pos) > self._hp.replan_eps
+    # --- legacy aliases used by older configs/tests ---
+    @property
+    def state_plan(self):
+        return None if self._plan_cursor is None else self._plan_cursor.states
+
+    @property
+    def action_plan(self):
+        return None if self._plan_cursor is None else self._plan_cursor.actions
 
     # ------------------------------------------------------------------
 
-    def _sample_per_room(self, room_path):
-        px, py = [], []
-        room_path = range(self._hp.n_rooms) if room_path is None else room_path
-        for room in room_path:
-            n = (int(np.random.choice(self.VAR_SAMPLING_RATES))
-                 if self._hp.use_var_sampling else self._hp.n_samples_per_room)
-            for _ in range(n):
-                p = self.state_sampler.sample(room)
-                px.append(p[0])
-                py.append(p[1])
-        return px, py
-
-    def _sample_per_door(self, room_path=None):
-        doors = self.layout.doors if room_path is None else [
-            (min(room_path[i], room_path[i + 1]),
-             max(room_path[i], room_path[i + 1]))
-            for i in range(len(room_path) - 1)
-        ]
-        if not doors:
-            return [], []
-        samples = np.asarray([
-            [self.state_sampler.sample_door(d[0], d[1],
-                                            self._hp.sample_door_center)
-             for _ in range(self._hp.n_samples_per_door)]
-            for d in doors
-        ]).transpose(2, 0, 1).reshape(2, -1)
-        return list(samples[0]), list(samples[1])
-
-    def _sample_points(self, room_path=None):
-        px, py = self._sample_per_room(room_path)
-        if self._hp.bottleneck_sampling:
-            dx, dy = self._sample_per_door(room_path)
-            px.extend(dx)
-            py.extend(dy)
-        return [px, py]
-
-    # ------------------------------------------------------------------
-
-    def _plan(self, agent_pos, goal_pos, t):
+    def _replan(self, agent_pos, goal_pos, t):
+        pos = np.asarray(agent_pos[:2])
+        goal = np.asarray(goal_pos)
         if self.convert is not None:
-            pos = self.convert.env2prm(agent_pos[:2])
-            goal_pos = self.convert.env2prm(goal_pos)
-        else:
-            pos = agent_pos[:2]
+            pos, goal = self.convert.env2prm(pos), self.convert.env2prm(goal)
 
-        length, path = self.compute_shortest_path(pos, goal_pos,
-                                                  transform_pose=False)
+        length, door_path = door_waypoint_path(
+            self.layout, self.state_sampler, pos, goal,
+            self._hp.straight_through_door)
+
         if self._hp.use_scripted_path:
-            planned_x = [p[0] for p in path]
-            planned_y = [p[1] for p in path]
-            success = True
+            path_xy, found = ([p[0] for p in door_path],
+                              [p[1] for p in door_path]), True
         else:
-            sx, sy = pos[0], pos[1]
-            gx, gy = goal_pos[0], goal_pos[1]
-            ox, oy = self.layout.ox, self.layout.oy
-            if self._room_plan is None:
-                room_path = self.plan_room_seq(
-                    self.layout.coords2ridx(*pos),
-                    self.layout.coords2ridx(*goal_pos),
-                    self.layout.doors,
-                )
-                self._room_plan = room_path
-            else:
-                room_path = self._room_plan
+            path_xy, found = self._prm_query(pos, goal)
 
-            success = False
-            planned_x, planned_y = [], []
-            for _ in range(self._hp.max_planning_retries):
-                pts = self._sample_points(room_path)
-                planned_x, planned_y, success = PRM_planning(
-                    sx, sy, gx, gy, ox, oy, self.layout.robot_size,
-                    self.plan_params,
-                    self._hp.n_samples_per_room * self._hp.n_rooms, pts,
-                )
-                if success:
-                    break
-
-        if not success:
+        if not found:
             if self._hp.use_fallback_plan:
                 self._fallback_plan()
-            return None, False
+            return
 
-        n_steps = int(length * 20)
+        n_steps = int(length * STEPS_PER_UNIT_LENGTH)
         if self._hp.max_traj_length is not None:
             n_steps = min(n_steps, self._hp.max_traj_length - t)
-        n_steps = max(n_steps, 2)
-        try:
-            tck, _ = interpolate.splprep([planned_x, planned_y], s=0.0)
-            x_i, y_i = interpolate.splev(np.linspace(0, 1, n_steps), tck)
-            self.state_plan = np.stack((x_i, y_i))
-        except (TypeError, ValueError):
-            # duplicate points break the spline fit (prm_policy.py:185-189)
+        states = smooth_plan(*path_xy, max(n_steps, 2))
+        if states is None:
             self._fallback_plan()
-            return None, False
-        self.action_plan = self.state_plan[:, 1:] - self.state_plan[:, :-1]
+            return
 
-        raw_plan = self.state_plan.copy()
         if self.convert is not None:
-            self.state_plan, self.action_plan = self.convert.transform_plan(
-                self.state_plan, self.action_plan
-            )
-        return raw_plan, True
+            states, actions = self.convert.transform_plan(
+                states, states[:, 1:] - states[:, :-1])
+            self._plan_cursor = _Plan(states=states, actions=actions)
+        else:
+            self._plan_cursor = _Plan.from_states(states)
+
+    def _prm_query(self, pos, goal):
+        """Roadmap + Dijkstra between pos and goal, with retries over fresh
+        point samples (prm_policy.py:130-171)."""
+        if self._room_plan is None:
+            seq_planner = (plan_room_seq_multimodal if self.layout.multimodal
+                           else plan_room_seq)
+            self._room_plan = seq_planner(
+                self.layout.coords2ridx(*pos),
+                self.layout.coords2ridx(*goal), self.layout.doors)
+
+        for _ in range(self._hp.max_planning_retries):
+            pts = roadmap_points(self.layout, self.state_sampler, self._hp,
+                                 self._room_plan)
+            px, py, ok = PRM_planning(
+                pos[0], pos[1], goal[0], goal[1],
+                self.layout.ox, self.layout.oy, self.layout.robot_size,
+                self._prm_params,
+                self._hp.n_samples_per_room * self._hp.n_rooms, pts)
+            if ok:
+                return (px, py), True
+        return None, False
 
     def _fallback_plan(self):
-        """Reverse recent actions / random nudge (prm_policy.py:192-196)."""
-        if self.action_plan is not None:
-            self.action_plan = -2 * self.action_plan[
-                :, max(self.current_action - 1, 0):
-            ]
-            if self.action_plan.shape[1] == 0:
-                self.action_plan = self.state_plan = 0.02 * np.random.rand(2, 1)
+        if self._plan_cursor is not None:
+            fallback = self._plan_cursor.remaining_reversed()
+            self._plan_cursor = (fallback if fallback.actions.shape[1]
+                                 else _random_nudge())
         else:
-            self.action_plan = self.state_plan = 0.02 * np.random.rand(2, 1)
+            self._plan_cursor = _random_nudge()
 
     def compute_shortest_path(self, p1, p2, transform_pose=True,
                               straight_through_door=False):
-        """Waypoint path through door centers + its length
-        (prm_policy.py:198-216)."""
         if self.convert is not None and transform_pose:
             p1, p2 = self.convert.env2prm(p1), self.convert.env2prm(p2)
-        if (np.stack((p1, p2)) < -0.5).any() or (np.stack((p1, p2)) > 0.5).any():
-            return 10.0, []
-        room_path = plan_room_seq(
-            self.layout.coords2ridx(p1[0], p1[1]),
-            self.layout.coords2ridx(p2[0], p2[1]),
-            self.layout.doors,
-        )
-        waypoints = [np.asarray(p1)]
-        for n in range(len(room_path) - 1):
-            if straight_through_door:
-                waypoints.extend(self.state_sampler.get_door_path(
-                    room_path[n], room_path[n + 1]))
-            else:
-                waypoints.append(self.state_sampler.get_door_pos(
-                    min(room_path[n], room_path[n + 1]),
-                    max(room_path[n], room_path[n + 1]),
-                ))
-        waypoints.append(np.asarray(p2))
-        waypoints = np.array(waypoints)
-        length = np.linalg.norm(waypoints[1:] - waypoints[:-1], axis=1).sum()
-        return length, waypoints
+        return door_waypoint_path(self.layout, self.state_sampler, p1, p2,
+                                  straight_through_door)
 
-    def plan_room_seq(self, *args, **kwargs):
+    def plan_room_seq(self, start, goal, doors):
         if self.layout.multimodal:
-            return plan_room_seq_multimodal(*args, **kwargs)
-        return plan_room_seq(*args, **kwargs)
+            return plan_room_seq_multimodal(start, goal, doors)
+        return plan_room_seq(start, goal, doors)

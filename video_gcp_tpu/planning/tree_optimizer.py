@@ -1,14 +1,16 @@
-"""Hierarchical tree-latent optimizer: layer-sequential CEM over GCP-tree
-latents.
+"""Hierarchical tree-latent optimization for CEM planning over GCP trees.
 
-Reference: gcp/planning/tree_optimizer.py:7-260. Per optimization pass, the
-currently-active layer samples N subgoal latents (one per candidate), every
-layer above uses its already-optimized latent, and layers below collapse to a
-single sample; the candidate subgoal is scored by the learned pairwise cost to
-both parents (to-cost + from-cost), the argmin is frozen, and optimization
-recurses into the left/right segments. The final layers are optimized as
-best-of-N dense segments under the low-level cost. Host-side recursion (the
-tree is small); all candidate scoring consumes the batched device rollouts.
+Behavior parity with gcp/planning/tree_optimizer.py:7-260 — per optimization
+pass, one tree layer is "elited": every segment at the active layer scores its
+N candidate subgoal latents by learned to+from cost against the segment
+boundaries and freezes the argmin; once the configured CEM layers are
+exhausted, each remaining subtree is optimized jointly as a best-of-N dense
+segment under the low-level cost. Architecture differs deliberately: instead
+of a recursive web of per-node optimizer objects, ALL state lives in one flat
+depth-first-ordered latent array (`_frozen_z` + `_frozen` mask) with an
+active-level counter, and `optimize` walks segments as (lo, hi) index ranges
+of that array. Host-side numpy throughout — the tree is tiny; every candidate
+evaluation consumes the batched device rollouts passed in.
 
 Conventions: rollouts are [T_i, D] numpy arrays = flattened observations with
 the model latent appended on the last `subgoal_cost_fcn.input_dim` dims;
@@ -18,205 +20,163 @@ from __future__ import annotations
 
 import numpy as np
 
-from video_gcp_tpu.core.attrdict import AttrDict, listdict2dictlist
-
 
 class HierarchicalTreeLatentOptimizer:
     def __init__(self, latent_dim, sampling_rates, depth, subgoal_cost_fcn,
                  ll_cost_fcn, final_layer_samples):
         self._latent_dim = latent_dim
         self._depth = depth
+        self._n_nodes = 2 ** depth - 1
+        self._rates = list(sampling_rates)
+        self._n_cem_levels = len(self._rates)
+        assert self._n_cem_levels < depth
         self._subgoal_cost_fcn = subgoal_cost_fcn
         self._ll_cost_fcn = ll_cost_fcn
-        self._is_optimized = False
-        self._opt_z = None
-        self._latest_z_samples = None
-        if sampling_rates:
-            self._n_samples = sampling_rates.pop(0)
-            self._n_latents = 1
-            self._children = [
-                [
-                    type(self)(latent_dim, sampling_rates.copy(), depth - 1,
-                               subgoal_cost_fcn, ll_cost_fcn,
-                               final_layer_samples)
-                    for _ in range(self._n_samples)
-                ]
-                for _ in range(2)
-            ]
-        else:
-            self._n_samples = final_layer_samples
-            self._n_latents = 2 ** depth - 1
-            self._children = None
+        self._final_layer_samples = final_layer_samples
 
-        self.mean = np.zeros((self._n_latents, self._latent_dim))
-        self.std = np.ones((self._n_latents, self._latent_dim))
+        # df-ordered (in-order) latent tree + freeze mask; level k of the
+        # tree is frozen by the k-th optimize() call
+        self._frozen_z = np.zeros((self._n_nodes, self._latent_dim))
+        self._frozen = np.zeros(self._n_nodes, dtype=bool)
+        self._next_level = 0
+        self._done = False
+        self._latest = None  # samples behind the rollouts being optimized
+        self._opt_z = None  # frozen root latent, [1, latent_dim]
 
+    # ------------------------------------------------------------------
+    # sampling
     # ------------------------------------------------------------------
 
     def sample(self, below_opt_layer: bool = False) -> np.ndarray:
-        """Concatenated df-order latent samples for the whole subtree."""
-        if self._is_optimized:
-            z = self._opt_z.copy()[None]
+        """Candidate latent trees [N, n_nodes, latent_dim]: frozen levels are
+        tiled, every other node draws i.i.d. from the (never-refit) unit
+        Gaussian; N = the active level's sampling rate."""
+        del below_opt_layer  # flat equivalent: free nodes are always i.i.d.
+        if self._done:
+            z = self._frozen_z[None].copy()
         else:
-            z = self._sample()[:1] if below_opt_layer else self._sample()
-            self._latest_z_samples = z.copy()
-        next_below = (not self._is_optimized and not below_opt_layer) or below_opt_layer
-        if self._children is not None:
-            samples = []
-            for child_left, child_right, z_i in zip(
-                self._children[0], self._children[1], z
-            ):
-                z_left = child_left.sample(next_below)
-                z_right = child_right.sample(next_below)
-                assert z_left.shape == z_right.shape
-                samples.append(
-                    np.concatenate(
-                        [z_left, np.tile(z_i[0], (z_left.shape[0], 1, 1)),
-                         z_right],
-                        axis=1,
-                    )
-                )
-            z = np.concatenate(samples)
+            n = (self._rates[self._next_level]
+                 if self._next_level < self._n_cem_levels
+                 else self._final_layer_samples)
+            z = np.tile(self._frozen_z[None], (n, 1, 1))
+            free = ~self._frozen
+            z[:, free] = np.random.normal(
+                size=(n, int(free.sum()), self._latent_dim))
+        self._latest = z.copy()
         return z
 
-    def _sample(self):
-        return np.random.normal(
-            loc=self.mean, scale=self.std,
-            size=(self._n_samples, self._n_latents, self._latent_dim),
-        )
-
+    # ------------------------------------------------------------------
+    # optimization
     # ------------------------------------------------------------------
 
     def optimize(self, all_rollouts, goal):
-        if self._children is None:
-            return self._optimize_segment(all_rollouts, goal)
-        if not self._is_optimized:
-            return self._optimize_subgoal(all_rollouts, goal)
-        return self._recurse_optimization(all_rollouts, goal)
-
-    def _optimize_segment(self, all_rollouts, goal):
-        best_rollout, best_cost, best_idx = self._best_of_n_segments(
-            all_rollouts, goal, self._ll_cost_fcn
-        )
-        self._opt_z = self._latest_z_samples[best_idx]
-        self._is_optimized = True
-        return best_rollout, best_cost
-
-    def _optimize_subgoal(self, all_rollouts, goal):
-        rollouts = self._split_state_rollout(all_rollouts)
-
-        starts = np.stack([r[0] for r in rollouts.state_rollout])
-        start_latents = np.stack([r[0] for r in rollouts.latent_rollout])
-        sg_idx = [int(np.floor(r.shape[0] / 2)) for r in rollouts.state_rollout]
-        subgoals = np.stack(
-            [r[i] for r, i in zip(rollouts.state_rollout, sg_idx)]
-        )
-        subgoal_latents = np.stack(
-            [r[i] for r, i in zip(rollouts.latent_rollout, sg_idx)]
-        )
-        # joined = goal carries the appended latent (same trailing dim as
-        # rollout rows); raw goals (env states/images) lack it
-        goal_is_joined = goal.shape[-1] == all_rollouts[0].shape[-1]
-        if goal_is_joined:
-            goal_split = self._split_state_rollout([goal[None]])
-            goals = np.stack(
-                [goal_split.state_rollout[0][0] for _ in rollouts.state_rollout]
-            )
-            goal_latents = np.stack(
-                [goal_split.latent_rollout[0][0] for _ in rollouts.latent_rollout]
-            )
+        """Freeze the active level against the candidate rollouts; returns
+        (best skeleton/segment rollout, its cost)."""
+        rollouts = [np.asarray(r) for r in all_rollouts]
+        result = self._optimize_range(rollouts, np.asarray(goal),
+                                      0, self._n_nodes, 0)
+        if self._next_level < self._n_cem_levels:
+            self._next_level += 1
         else:
-            goals = np.stack([goal for _ in rollouts.state_rollout])
-            goal_latents = np.stack([r[-1] for r in rollouts.latent_rollout])
+            self._done = True
+        return result
 
-        to_cost = self._subgoal_cost_fcn(start_latents, subgoal_latents)
-        from_cost = self._subgoal_cost_fcn(subgoal_latents, goal_latents)
-        total_cost = to_cost + from_cost
+    def _optimize_range(self, rollouts, goal, lo, hi, level):
+        node = (lo + hi) // 2
+        if level < self._next_level:
+            return self._descend(rollouts, goal, lo, hi, level, node)
+        if level < self._n_cem_levels:
+            return self._freeze_subgoal(rollouts, goal, node)
+        return self._freeze_segment(rollouts, goal, lo, hi)
 
-        opt_idx = int(np.argmin(total_cost))
-        self._opt_z = self._latest_z_samples[opt_idx]
+    def _descend(self, rollouts, goal, lo, hi, level, node):
+        """Recurse through an already-frozen node: split every rollout at its
+        midpoint and optimize both halves. Rollouts too short to split
+        compete as whole segments under the low-level cost instead
+        (tree_optimizer.py:153-190)."""
+        shorts = [r for r in rollouts if r.shape[0] < 3]
+        work = [self._dummy_seq(r[0]) if r.shape[0] < 3 else r
+                for r in rollouts]
+        mids = [r.shape[0] // 2 for r in work]
+        subgoal = work[0][mids[0]]
 
-        outputs = [starts[opt_idx]]
-        if (subgoals[opt_idx] != outputs[-1]).any():
-            outputs.append(subgoals[opt_idx])
-        if not goal_is_joined:
-            g = goals[opt_idx]
-            outputs.append(self._goal_to_state(g, outputs[-1]))
-        output_rollout = np.stack(outputs)
-        output_cost = total_cost[opt_idx]
+        left, cost_left = self._optimize_range(
+            [r[:m] for r, m in zip(work, mids)], subgoal, lo, node, level + 1)
+        right, cost_right = self._optimize_range(
+            [r[m:] for r, m in zip(work, mids)], goal, node + 1, hi,
+            level + 1)
+        best = np.concatenate([left, right])
+        cost = cost_left + cost_right
 
-        self._children = [c[:1] for c in self._children]
-        self._n_samples = 1
-        self._is_optimized = True
-        return output_rollout, output_cost
+        if shorts:
+            short_roll, short_cost, _ = self._best_segment(shorts, goal)
+            if short_cost < cost or np.isnan(cost):
+                best, cost = short_roll, short_cost
+        return best, cost
 
-    def _recurse_optimization(self, all_rollouts, goal):
-        per_latent = np.array_split(np.asarray(all_rollouts, dtype=object),
-                                    self._n_samples)
-        best_costs, best_rollouts = [], []
-        for child_left, child_right, rollouts in zip(
-            self._children[0], self._children[1], per_latent
-        ):
-            rollouts = [r for r in rollouts]
-            short_rollouts = []
-            for r_idx, r in enumerate(rollouts):
-                if r.shape[0] < 3:
-                    # too short for further splitting: dummy with inf cost
-                    short_rollouts.append(r)
-                    rollouts[r_idx] = self._make_dummy_seq(r[0])
+    def _freeze_subgoal(self, rollouts, goal, node):
+        """Elite the active CEM node: argmin over candidates of
+        to-subgoal + from-subgoal learned cost (tree_optimizer.py:105-151)."""
+        states, latents = self._split(rollouts)
+        mids = [r.shape[0] // 2 for r in rollouts]
+        start_lat = np.stack([l[0] for l in latents])
+        mid_lat = np.stack([l[m] for l, m in zip(latents, mids)])
 
-            sg_inds = [int(np.floor(r.shape[0] / 2)) for r in rollouts]
-            subgoal = rollouts[0][sg_inds[0]]
-            rollout_left, cost_left = child_left.optimize(
-                [r[:si] for r, si in zip(rollouts, sg_inds)], subgoal
-            )
-            rollout_right, cost_right = child_right.optimize(
-                [r[si:] for r, si in zip(rollouts, sg_inds)], goal
-            )
-            best_rollout = np.concatenate([rollout_left, rollout_right])
-            best_cost = cost_left + cost_right
+        joined = goal.shape[-1] == rollouts[0].shape[-1]
+        if joined:
+            goal_lat = np.repeat(self._split([goal[None]])[1][0], len(rollouts),
+                                 axis=0)
+        else:
+            goal_lat = np.stack([l[-1] for l in latents])
 
-            if short_rollouts:
-                r_short, c_short, _ = self._best_of_n_segments(
-                    short_rollouts, goal, self._ll_cost_fcn
-                )
-                if c_short < best_cost or np.isnan(best_cost):
-                    best_rollout, best_cost = r_short, c_short
+        cost = (self._subgoal_cost_fcn(start_lat, mid_lat)
+                + self._subgoal_cost_fcn(mid_lat, goal_lat))
+        best = int(np.argmin(cost))
 
-            best_rollouts.append(best_rollout)
-            best_costs.append(best_cost)
+        self._frozen_z[node] = self._latest[best, node]
+        self._frozen[node] = True
+        if node == (self._n_nodes // 2):  # root latent, kept for inspection
+            self._opt_z = self._frozen_z[node][None].copy()
 
-        idx = int(np.argmin(np.array(best_costs)))
-        return best_rollouts[idx], best_costs[idx]
+        skeleton = [states[best][0]]
+        mid_state = states[best][mids[best]]
+        if (mid_state != skeleton[-1]).any():
+            skeleton.append(mid_state)
+        if not joined:
+            skeleton.append(self._goal_to_state(goal, skeleton[-1]))
+        return np.stack(skeleton), cost[best]
+
+    def _freeze_segment(self, rollouts, goal, lo, hi):
+        """Best-of-N over a final dense segment; freezes the whole remaining
+        subtree [lo, hi) to the winner's latents."""
+        roll, cost, best = self._best_segment(rollouts, goal)
+        self._frozen_z[lo:hi] = self._latest[best, lo:hi]
+        self._frozen[lo:hi] = True
+        return roll, cost
+
+    def _best_segment(self, rollouts, goal):
+        inputs, seg_goal = self._segment_cost_inputs(rollouts, goal)
+        cost = self._ll_cost_fcn(inputs, seg_goal)
+        best = int(np.argmin(cost))
+        return self._split(rollouts)[0][best], cost[best], best
 
     # ------------------------------------------------------------------
+    # representation hooks (overridden by the image variant)
+    # ------------------------------------------------------------------
 
-    def _best_of_n_segments(self, all_rollouts, goal, cost_fcn):
-        rollouts_opt, goal_opt = self._prep_segment_opt_inputs(all_rollouts, goal)
-        cost = cost_fcn(rollouts_opt, goal_opt)
-        idx = int(np.argmin(cost))
-        return (
-            self._split_state_rollout(all_rollouts).state_rollout[idx],
-            cost[idx],
-            idx,
-        )
-
-    def _prep_segment_opt_inputs(self, all_rollouts, goal):
-        rollouts = self._split_state_rollout(all_rollouts).state_rollout
-        if goal.shape[-1] == all_rollouts[0].shape[-1]:
-            state_goal = self._split_state_rollout([goal]).state_rollout[0]
-        else:
-            state_goal = goal
-        return rollouts, state_goal
-
-    def _split_state_rollout(self, rollouts):
+    def _split(self, rollouts):
+        """[T, D] rows -> (state parts, latent parts) per rollout."""
         d = self._subgoal_cost_fcn.input_dim
-        return listdict2dictlist(
-            [
-                AttrDict(state_rollout=r[..., :-d], latent_rollout=r[..., -d:])
-                for r in rollouts
-            ]
-        )
+        return ([r[..., :-d] for r in rollouts],
+                [r[..., -d:] for r in rollouts])
+
+    def _segment_cost_inputs(self, rollouts, goal):
+        states, _ = self._split(rollouts)
+        if goal.shape[-1] == rollouts[0].shape[-1]:
+            seg_goal = self._split([goal[None]])[0][0][0]
+        else:
+            seg_goal = goal
+        return states, seg_goal
 
     def _goal_to_state(self, goal, reference):
         """Convert a raw goal into the rollout's state format."""
@@ -225,56 +185,39 @@ class HierarchicalTreeLatentOptimizer:
         return np.broadcast_to(goal, reference.shape).copy()
 
     @staticmethod
-    def _make_dummy_seq(reference_array):
-        return np.stack(
-            [
-                np.ones_like(reference_array) * float("inf"),
-                np.zeros_like(reference_array),
-                np.ones_like(reference_array) * float("inf"),
-            ]
-        )
+    def _dummy_seq(reference_row):
+        """Unsplittable-segment placeholder with infinite boundary cost."""
+        inf = np.full_like(reference_row, np.inf)
+        return np.stack([inf, np.zeros_like(reference_row), inf])
 
     @property
     def fully_optimized(self):
-        if self._children is not None:
-            return self._is_optimized and all(
-                c.fully_optimized for c in self._children[0]
-            ) and all(c.fully_optimized for c in self._children[1])
-        return self._is_optimized
+        return self._done
 
 
 class ImageHierarchicalTreeLatentOptimizer(HierarchicalTreeLatentOptimizer):
-    """Image rollouts: the state part of the flattened rollout reshapes to
-    NHWC images (reference tree_optimizer.py:226-260, channel-first there)."""
+    """Image rollouts: the state part of each flattened row reshapes to an
+    NHWC image, and segment costs run on the latent parts (reference
+    tree_optimizer.py:226-260, channel-first there)."""
 
-    def _split_state_rollout(self, rollouts):
+    def _split(self, rollouts):
         d = self._subgoal_cost_fcn.input_dim
 
-        def reshape_to_image(flat):
+        def to_image(flat):
             assert flat.ndim == 2
             res = int(np.sqrt(flat.shape[1] / 3))
             return flat.reshape(flat.shape[0], res, res, 3)
 
-        return listdict2dictlist(
-            [
-                AttrDict(
-                    state_rollout=reshape_to_image(r[..., :-d]),
-                    latent_rollout=r[..., -d:],
-                )
-                for r in rollouts
-            ]
-        )
+        return ([to_image(r[..., :-d]) for r in rollouts],
+                [r[..., -d:] for r in rollouts])
 
-    def _prep_segment_opt_inputs(self, all_rollouts, goal):
-        rollouts = self._split_state_rollout(all_rollouts).latent_rollout
+    def _segment_cost_inputs(self, rollouts, goal):
+        _, latents = self._split(rollouts)
         if np.ndim(goal) > 2:  # raw image goal: use final rollout latent
-            state_goal = [r[-1:] for r in rollouts]
+            seg_goal = [l[-1:] for l in latents]
         else:
-            state_goal = [
-                self._split_state_rollout([goal[None]]).latent_rollout[0]
-                for _ in rollouts
-            ]
-        return rollouts, state_goal
+            seg_goal = [self._split([goal[None]])[1][0] for _ in latents]
+        return latents, seg_goal
 
     def _goal_to_state(self, goal, reference):
         if goal.ndim == 4:  # [1, H, W, C] env image in [0, 1]
