@@ -97,3 +97,100 @@ class TestVMPC:
         assert out.dense_rec.images.shape == (B, T, H, H, 3)
         # zero KL: q == p == empty gaussian
         assert float(out.losses.kl.value) == 0.0
+
+
+class TestHparamVariants:
+    """Every declared hparam must work or fail loudly (config hygiene)."""
+
+    def test_conv_lstm_tree(self):
+        from video_gcp_tpu.models.tree import TreeModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H,
+                          hierarchy_levels=3, matching_type="balanced",
+                          tree_lstm="split_linear", lstm_init="mlp",
+                          use_conv_lstm=True))
+        m = TreeModel(hp=dict(hp))
+        inputs = make_inputs()
+        p = jax.jit(lambda i: m.init({"params": KEY, "sample": KEY}, i,
+                                     "train", "posterior"))(inputs)
+        out = jax.jit(lambda p, i: m.apply(p, i, "train", "posterior",
+                                           rngs={"sample": KEY}))(p, inputs)
+        assert out.tree.images.shape == (B, 7, H, H, 3)
+        assert np.isfinite(float(out.losses.total.value))
+
+    def test_conv_lstm_sequential_with_action_regression(self):
+        from video_gcp_tpu.models.sequential import SequentialModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H, n_actions=2,
+                          use_conv_lstm=True, regress_actions=True,
+                          one_step_planner="continuous",
+                          action_activation="tanh"))
+        m = SequentialModel(hp=dict(hp))
+        inputs = make_inputs()
+        p = jax.jit(lambda i: m.init({"params": KEY, "sample": KEY}, i,
+                                     "train", "posterior"))(inputs)
+        out = jax.jit(lambda p, i: m.apply(p, i, "train", "posterior",
+                                           rngs={"sample": KEY}))(p, inputs)
+        assert "dense_action_rec" in out.losses
+        assert np.isfinite(float(out.losses.total.value))
+
+    @pytest.mark.parametrize("flag", ["pixel_shift_decoder",
+                                      "add_weighted_pixel_copy"])
+    def test_dead_decoder_flags_raise(self, flag):
+        from video_gcp_tpu.models.tree import TreeModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H,
+                          hierarchy_levels=3, matching_type="balanced"))
+        hp[flag] = True
+        m = TreeModel(hp=dict(hp))
+        with pytest.raises(NotImplementedError):
+            m.init({"params": KEY, "sample": KEY}, make_inputs(), "train",
+                   "posterior")
+
+    def test_invalid_switch_values_raise(self):
+        from video_gcp_tpu.models.tree import TreeModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H,
+                          hierarchy_levels=3, matching_type="balanced",
+                          dense_rec_type="bogus"))
+        with pytest.raises(ValueError):
+            TreeModel(hp=dict(hp)).init(
+                {"params": KEY, "sample": KEY}, make_inputs(), "train",
+                "posterior")
+
+    def test_tree_decoder_action_regression_guarded(self):
+        from video_gcp_tpu.models.tree import TreeModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H, n_actions=2,
+                          hierarchy_levels=3, matching_type="balanced",
+                          regress_actions=True,
+                          one_step_planner="continuous"))
+        with pytest.raises(NotImplementedError):
+            TreeModel(hp=dict(hp)).init(
+                {"params": KEY, "sample": KEY}, make_inputs(), "train",
+                "posterior")
+
+    def test_n_conv_layers_and_separate_start_goal_encoder(self):
+        from video_gcp_tpu.models.tree import TreeModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H,
+                          hierarchy_levels=3, matching_type="balanced",
+                          n_conv_layers=3,
+                          separate_cnn_start_goal_encoder=True))
+        m = TreeModel(hp=dict(hp))
+        inputs = make_inputs()
+        p = jax.jit(lambda i: m.init({"params": KEY, "sample": KEY}, i,
+                                     "train", "posterior"))(inputs)
+        out = jax.jit(lambda p, i: m.apply(p, i, "train", "posterior",
+                                           rngs={"sample": KEY}))(p, inputs)
+        assert out.tree.images.shape == (B, 7, H, H, 3)
+        assert np.isfinite(float(out.losses.total.value))
+        # a separate start/goal encoder must add parameters
+        names = set(p["params"].keys())
+        assert any("start_goal" in n or "ConvEncoder_1" in n for n in names), names

@@ -69,8 +69,71 @@ class BaseGCPModel(nn.Module):
 
     # ----- shared construction ------------------------------------------------
 
+    # Decoder-side action regression is gated off under the subgoal-prediction
+    # planner (base_gcp.py:80)
+    @property
+    def regress_decoder_actions(self) -> bool:
+        return bool(self.hp["regress_actions"]
+                    and self.hp.get("one_step_planner") != "sh_pred")
+
+    # Declared-for-parity switches that no published config sets and that are
+    # not implemented here: accepted at their defaults, loud otherwise.
+    _UNIMPLEMENTED_DEFAULTS = dict(
+        pixel_shift_decoder=False,
+        add_weighted_pixel_copy=False,
+        skip_from_parents=False,
+        one_hot_attn_time_cond=False,
+        regress_index=False,
+        act_cond_inference=False,
+        train_on_action_seqs=False,
+        supervised_decoder=False,
+        states_inference=False,
+        standardize=None,
+        supervise_match_weight=0.0,
+        dump_encodings="",
+        dump_encodings_inv_model="",
+        log_cartgripper=False,
+        log_d2b_3x3maze=0,
+    )
+
+    @classmethod
+    def validate_hparams(cls, hp):
+        """Fail loudly on declared-but-unimplemented or invalid switches
+        instead of silently ignoring them (config-hygiene rule)."""
+        for flag, default in cls._UNIMPLEMENTED_DEFAULTS.items():
+            if hp.get(flag, default) != default:
+                raise NotImplementedError(
+                    f"hparam {flag}={hp[flag]!r} is declared for config "
+                    "parity but not implemented in video_gcp_tpu (no "
+                    "published config sets it); keep it at its default "
+                    f"{default!r} or pop it from the config")
+        if hp.get("var_inf", "standard") == "2layer":
+            raise NotImplementedError(
+                "var_inf='2layer' (and nz_vae2) is not implemented; use "
+                "'standard' or 'deterministic'")
+        if hp.get("dense_rec_type", "none") not in (
+                "none", "svg", "node_prob", None):
+            raise ValueError(
+                f"unknown dense_rec_type {hp['dense_rec_type']!r}")
+        if hp.get("one_step_planner", "discrete") not in (
+                "discrete", "continuous", "sh_pred"):
+            raise ValueError(
+                f"unknown one_step_planner {hp['one_step_planner']!r}")
+        if hp.get("action_activation") not in (None, "sigmoid", "tanh"):
+            raise ValueError(
+                f"unknown action_activation {hp['action_activation']!r}")
+
+    def apply_action_activation(self, actions: Array) -> Array:
+        act = self.hp.get("action_activation")
+        if act == "sigmoid":
+            return jax.nn.sigmoid(actions)
+        if act == "tanh":
+            return jnp.tanh(actions)
+        return actions
+
     def setup_core(self):
         hp = self.hp
+        self.validate_hparams(hp)
         self.use_dlm = (hp["use_convs"] and hp.get("decoder_distribution")
                         == "discrete_logistic_mixture")
         if hp["use_convs"]:
@@ -88,6 +151,14 @@ class BaseGCPModel(nn.Module):
         else:
             self.encoder = MLPEncoder(hp, dtype=self.dtype)
             self.decoder = MLPDecoder(hp, dtype=self.dtype)
+        if hp.get("separate_cnn_start_goal_encoder", False):
+            # dedicated start/goal encoder (hyperparameters.py:68); the
+            # sequence encoder stays shared
+            self.start_goal_encoder = (ConvEncoder(hp, dtype=self.dtype)
+                                       if hp["use_convs"]
+                                       else MLPEncoder(hp, dtype=self.dtype))
+        else:
+            self.start_goal_encoder = self.encoder
         self.log_sigma_mod = GaussianLogSigma(hp)
 
         self.inf_encoder = build_seq_encoder(hp, self.dtype)  # may be None
@@ -145,10 +216,10 @@ class BaseGCPModel(nn.Module):
             else:
                 inputs.inf_enc_key_seq = inputs.enc_traj_seq
 
-        e_0, skips = self.encoder(inputs.I_0)
+        e_0, skips = self.start_goal_encoder(inputs.I_0)
         inputs.e_0 = e_0
         inputs.skips = skips
-        inputs.e_g = self.encoder(inputs.I_g)[0]
+        inputs.e_g = self.start_goal_encoder(inputs.I_g)[0]
 
         if hp["action_conditioned_pred"] and "actions" in inputs:
             inputs.enc_action_seq = self.action_encoder(inputs.actions)

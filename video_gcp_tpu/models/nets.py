@@ -78,7 +78,7 @@ class ConvEncoder(nn.Module):
     @nn.compact
     def __call__(self, img: Array) -> Tuple[Array, list]:
         hp = self.hp
-        n_levels = int(math.log2(hp["img_sz"]))
+        n_levels = hp.get("n_conv_layers") or int(math.log2(hp["img_sz"]))
         x = img.astype(self.dtype)
         skips = []
         norm = _norm(hp, self.dtype)
@@ -111,10 +111,11 @@ class ConvDecoder(nn.Module):
     @nn.compact
     def __call__(self, e: Array, skips: Optional[list] = None) -> Array:
         hp = self.hp
-        n_levels = int(math.log2(hp["img_sz"]))
+        n_levels = hp.get("n_conv_layers") or int(math.log2(hp["img_sz"]))
         ch0 = min(hp["ngf"] * 2 ** (n_levels - 1), 256)
-        x = nn.Dense(ch0, dtype=self.dtype)(e.astype(self.dtype))
-        x = x[..., None, None, :]  # [B, 1, 1, ch]
+        s0 = hp["img_sz"] // 2 ** n_levels  # 1 unless n_conv_layers is set
+        x = nn.Dense(ch0 * s0 * s0, dtype=self.dtype)(e.astype(self.dtype))
+        x = x.reshape(x.shape[:-1] + (s0, s0, ch0))
         norm = _norm(hp, self.dtype)
         for i in reversed(range(n_levels)):
             if (
@@ -211,6 +212,10 @@ class LSTMStack(nn.Module):
     def state_size(self) -> int:
         return self.n_layers * 2 * self.size
 
+    def top_h(self, packed: Array) -> Array:
+        """Top layer's h as a [..., size] vector (read-only state view)."""
+        return packed[..., -self.size:]
+
     @nn.compact
     def __call__(self, packed_state: Array, x: Array) -> Tuple[Array, Array]:
         states = self.unpack(packed_state.astype(self.dtype))
@@ -221,6 +226,74 @@ class LSTMStack(nn.Module):
             new_state, x = cell(tuple(states[i]), x)
             new_states.append(new_state)
         return self.pack(new_states).astype(jnp.float32), x.astype(jnp.float32)
+
+
+CONV_LSTM_SPATIAL = 4  # latent grid side for the conv-LSTM variant
+
+
+class ConvLSTMStack(nn.Module):
+    """Multi-layer ConvLSTM advancing one step over a small latent grid
+    (hp.use_conv_lstm, ref hyperparameters.py:73-75 + tree_lstm.py:36; the
+    reference's conv cell internals live in the absent blox submodule, so the
+    grid design is original).
+
+    Packed-state contract matches LSTMStack — a flat
+    [..., n_layers * 2 * spatial^2 * size] array laid out
+    [layer, (c|h), y, x, channel] — so tree-state fusion, initializers, and
+    scan carries work on either stack unchanged. Vector step inputs enter via
+    a Dense stem reshaped onto the grid; the step output is the spatially
+    mean-pooled top-layer h, a [..., size] vector like LSTMStack's."""
+
+    size: int
+    n_layers: int
+    spatial: int = CONV_LSTM_SPATIAL
+    dtype: Any = jnp.float32
+
+    @property
+    def state_size(self) -> int:
+        return self.n_layers * 2 * self.spatial ** 2 * self.size
+
+    def top_h(self, packed: Array) -> Array:
+        s, c = self.spatial, self.size
+        h = packed[..., -s * s * c:]
+        return h.reshape(h.shape[:-1] + (s, s, c)).mean(axis=(-3, -2))
+
+    @nn.compact
+    def __call__(self, packed_state: Array, x: Array) -> Tuple[Array, Array]:
+        s, c = self.spatial, self.size
+        lead = packed_state.shape[:-1]
+        flat_b = math.prod(lead) if lead else 1
+        maps = packed_state.astype(self.dtype).reshape(
+            (flat_b, self.n_layers, 2, s, s, c))
+        x = nn.Dense(s * s * c, dtype=self.dtype)(x.astype(self.dtype))
+        x = x.reshape((flat_b, s, s, c))
+        new_layers = []
+        for i in range(self.n_layers):
+            cell = nn.ConvLSTMCell(features=c, kernel_size=(3, 3),
+                                   dtype=self.dtype)
+            (nc, nh), x = cell((maps[:, i, 0], maps[:, i, 1]), x)
+            new_layers.append(jnp.stack([nc, nh], axis=1))
+        packed = jnp.stack(new_layers, axis=1).reshape(
+            lead + (self.state_size,))
+        out = x.mean(axis=(-3, -2)).reshape(lead + (c,))
+        return packed.astype(jnp.float32), out.astype(jnp.float32)
+
+
+def make_lstm_stack(hp, dtype=jnp.float32):
+    """The recurrent core the hparams ask for: ConvLSTMStack when
+    hp.use_conv_lstm, else LSTMStack. Both share the packed-state contract."""
+    if hp.get("use_conv_lstm", False):
+        return ConvLSTMStack(hp["nz_mid_lstm"], hp["n_lstm_layers"],
+                             dtype=dtype)
+    return LSTMStack(hp["nz_mid_lstm"], hp["n_lstm_layers"], dtype=dtype)
+
+
+def lstm_state_size(hp) -> int:
+    """Packed recurrent-state width for the configured stack type."""
+    size = hp["n_lstm_layers"] * 2 * hp["nz_mid_lstm"]
+    if hp.get("use_conv_lstm", False):
+        size *= CONV_LSTM_SPATIAL ** 2
+    return size
 
 
 # ---------------------------------------------------------------------------

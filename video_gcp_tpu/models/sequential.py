@@ -27,7 +27,12 @@ from video_gcp_tpu.core.attrdict import AttrDict
 from video_gcp_tpu.core.distributions import Gaussian
 from video_gcp_tpu.core.losses import gaussian_nll_loss, kl_divergence_loss
 from video_gcp_tpu.models.base import BaseGCPModel
-from video_gcp_tpu.models.nets import GaussianHead, LSTMStack, MLP
+from video_gcp_tpu.models.nets import (
+    GaussianHead,
+    MLP,
+    lstm_state_size,
+    make_lstm_stack,
+)
 
 Array = jnp.ndarray
 
@@ -40,8 +45,7 @@ class VRNNCell(nn.Module):
 
     def setup(self):
         hp = self.hp
-        self.lstm = LSTMStack(hp["nz_mid_lstm"], hp["n_lstm_layers"],
-                              dtype=self.dtype)
+        self.lstm = make_lstm_stack(hp, dtype=self.dtype)
         self.prior_head = GaussianHead(hp["nz_vae"], hp["nz_mid"],
                                        hp["n_processing_layers"], self.dtype)
         self.inf_head = GaussianHead(hp["nz_vae"], hp["nz_mid"],
@@ -56,7 +60,7 @@ class VRNNCell(nn.Module):
         rng = step_inputs["rng"]
         mode = step_inputs["mode"]
 
-        h_top = state[..., -self.hp["nz_mid_lstm"]:]  # top-layer h of packed state
+        h_top = self.lstm.top_h(state)  # top-layer h of the packed state
         p_z = self.prior_head(h_top)
         if x_prime is not None:
             q_z = self.inf_head(h_top, x_prime)
@@ -85,9 +89,16 @@ class SequentialModel(BaseGCPModel):
         self.setup_core()
         self.cell = VRNNCell(self.hp, dtype=self.dtype)
         self.init_mlp = MLP(
-            self.hp["n_lstm_layers"] * 2 * self.hp["nz_mid_lstm"],
+            lstm_state_size(self.hp),
             self.hp["nz_mid"], self.hp["n_processing_layers"], self.dtype,
         )
+        if self.regress_decoder_actions:
+            # decoder-side action regression (base_gcp.py:80: enabled when
+            # regress_actions and not the subgoal-prediction planner)
+            self.action_head = MLP(
+                self.hp["n_actions"], self.hp["nz_mid"],
+                self.hp["n_processing_layers"], self.dtype,
+            )
 
     def predict_sequence(self, inputs: AttrDict, outputs: AttrDict,
                          end_ind: Array, mode: str) -> AttrDict:
@@ -227,6 +238,17 @@ class SequentialModel(BaseGCPModel):
             losses.dense_img_rec = gaussian_nll_loss(
                 pred, target, self.log_sigma(), weights=w,
                 weight=hp["dense_img_rec_weight"], breakdown=1,
+            )
+        if self.regress_decoder_actions and "actions" in inputs:
+            from video_gcp_tpu.core.losses import l2_loss
+
+            pred_a = self.apply_action_activation(
+                self.action_head(outputs.dense_rec.encodings))
+            n = min(pred_a.shape[1], inputs.actions.shape[1])
+            losses.dense_action_rec = l2_loss(
+                pred_a[:, :n], inputs.actions[:, :n],
+                weights=inputs.pad_mask[:, 1 : n + 1, None],
+                weight=hp["dense_action_rec_weight"],
             )
         kl_w = inputs.pad_mask[:, 1:, None]
         losses.kl = kl_divergence_loss(

@@ -143,6 +143,11 @@ class TreeModel(BaseGCPModel):
     def setup(self):
         self.setup_core()
         hp = self.hp
+        if self.regress_decoder_actions:
+            raise NotImplementedError(
+                "decoder action regression (regress_actions with "
+                "one_step_planner != 'sh_pred') is only supported by the "
+                "sequential model; tree configs use 'sh_pred' (base_tree.py)")
         depth = hp["hierarchy_levels"]
         if hp["untied_layers"]:
             self.tree_levels = [TreeLevel(hp, dtype=self.dtype)
