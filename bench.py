@@ -74,6 +74,79 @@ def build(batch_size: int, levels: int = 9, img_sz: int = 64):
     return rollout, rollout_n, params, inputs
 
 
+def _timed_scan(fn, params, inputs, key, n_iters):
+    """Compile+warmup, then time one n_iters-scan dispatch; returns s/iter."""
+    f = jax.jit(fn, static_argnames="n")
+    jax.block_until_ready(f(params, inputs, key, n_iters))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(params, inputs, jax.random.fold_in(key, 1),
+                            n_iters))
+    return (time.perf_counter() - t0) / n_iters
+
+
+def bench_cem_rollouts(n_candidates: int = 100, levels: int = 7) -> float:
+    """CEM planning rollouts/sec (BASELINE.md tracked metric): batched
+    plan-mode tree rollouts at control scale — L=7 (127 nodes), one rollout
+    per CEM candidate, full conv decode, scan-amortized."""
+    _, rollout_n, params, inputs = build(n_candidates, levels)
+    n_iters = 10
+    dt = _timed_scan(rollout_n, params, inputs, jax.random.PRNGKey(2), n_iters)
+    return n_candidates / dt
+
+
+def bench_train_step(batch_size: int = 16, levels: int = 7,
+                     seq_len: int = 100, img_sz: int = 64) -> float:
+    """Training frames/sec/chip at the published 9-room scale: full
+    loss+grad+NaN-masked-update step (balanced matching), scan-amortized."""
+    import optax
+
+    from video_gcp_tpu.core.attrdict import AttrDict
+    from video_gcp_tpu.models.hyperparameters import default_hparams
+    from video_gcp_tpu.models.tree import TreeModel
+    from video_gcp_tpu.parallel.train_step import TrainState, make_train_step
+
+    hp = default_hparams()
+    hp.overwrite(dict(
+        batch_size=batch_size, max_seq_len=seq_len, img_sz=img_sz,
+        hierarchy_levels=levels, matching_type="balanced", seq_enc="conv",
+        tree_lstm="split_linear", lstm_init="mlp",
+        ngf=16, nz_mid_lstm=512, n_lstm_layers=3, nz_mid=128, nz_enc=128,
+        nz_vae=256,
+    ))
+    model = TreeModel(hp=dict(hp), dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    batch = AttrDict(
+        traj_seq=jnp.asarray(
+            rng.rand(batch_size, seq_len, img_sz, img_sz, 3).astype(np.float32)
+            * 2 - 1),
+        pad_mask=jnp.ones((batch_size, seq_len), jnp.float32),
+        end_ind=jnp.full((batch_size,), seq_len - 1, jnp.int32),
+        start_ind=jnp.zeros((batch_size,), jnp.int32),
+    )
+    batch.I_0, batch.I_g = batch.traj_seq[:, 0], batch.traj_seq[:, -1]
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key, "sample": key}, b, "train",
+                             "posterior"))(batch)
+    state = TrainState.create(params, optax.adam(2e-4))
+    step_fn = make_train_step(model, mesh=None)
+
+    def scan_steps(state, batch, key, n):
+        def body(s, k):
+            s, metrics = step_fn(s, batch, k)
+            return s, metrics["total"]
+
+        return jax.lax.scan(body, state, jax.random.split(key, n))[1].mean()
+
+    f = jax.jit(scan_steps, static_argnames="n")
+    n_iters = 5
+    jax.block_until_ready(f(state, batch, key, n_iters))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(state, batch, jax.random.fold_in(key, 3), n_iters))
+    dt = (time.perf_counter() - t0) / n_iters
+    return batch_size * seq_len / dt
+
+
 def main():
     batch_size = 32  # per chip (batch sweep: 32 saturates the v5e MXU)
     levels = 9  # 511 nodes -> >=500 predicted frames
@@ -83,21 +156,23 @@ def main():
     key = jax.random.PRNGKey(1)
 
     n_iters = 20
-    f = jax.jit(rollout_n, static_argnames="n")
-    # compile + warmup
-    jax.block_until_ready(f(params, inputs, key, n_iters))
-
-    t0 = time.perf_counter()
-    out = f(params, inputs, jax.random.fold_in(key, 1), n_iters)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iters
-
+    dt = _timed_scan(rollout_n, params, inputs, key, n_iters)
     frames_per_sec = batch_size * n_frames / dt
+
+    # secondary tracked metrics (BASELINE.md:26-28); same one-line contract
+    secondary = {}
+    try:
+        secondary["cem_rollouts_per_sec"] = round(bench_cem_rollouts(), 1)
+        secondary["train_frames_per_sec"] = round(bench_train_step(), 1)
+    except Exception as e:  # never break the primary metric line
+        secondary["error"] = f"{type(e).__name__}: {e}"[:200]
+
     print(json.dumps({
         "metric": "predicted 64x64 frames/sec/chip (500-step tree rollout)",
         "value": round(frames_per_sec, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(frames_per_sec / 5000.0, 3),
+        "secondary": secondary,
     }))
 
 

@@ -27,3 +27,4 @@ model_config.update({
     'nz_mid_lstm': 64,
     'nz_vae': 16,
 })
+model_config.pop("add_weighted_pixel_copy")

@@ -34,3 +34,4 @@ model_config.update({
     'attach_inv_mdl': True,
     'inv_mdl_params': AttrDict(n_actions=2),
 })
+model_config.pop("add_weighted_pixel_copy")

@@ -138,3 +138,89 @@ class TestFVDLPIPS:
         seqs[0, :4] = 1.0
         seqs[1, :6] = 0.5
         np.testing.assert_array_equal(detect_lengths(seqs), [4, 6])
+
+
+class TestRealEmbeddingPaths:
+    """I3D / AlexNet weight-loading paths, validated with synthetic
+    checkpoints of the exact published tensor layouts."""
+
+    def test_frechet_analytic_fixture(self):
+        from video_gcp_tpu.evaluation.fvd import frechet_distance
+
+        # exact moments: mu_a=(1,1), mu_b=(4,1), equal covariances -> d^2 = 9
+        a = np.array([[0, 0], [0, 2], [2, 0], [2, 2]], np.float64)
+        b = a + np.array([3.0, 0.0])
+        assert abs(frechet_distance(a, b) - 9.0) < 1e-6
+
+    def test_i3d_checkpoint_roundtrip(self, tmp_path):
+        import torch
+
+        from video_gcp_tpu.evaluation.fvd import (
+            _i3d_logits,
+            i3d_param_shapes,
+            load_i3d_params,
+        )
+
+        rng = np.random.RandomState(0)
+        sd = {}
+        for name, shape in i3d_param_shapes().items():
+            if name.endswith("running_var") or name.endswith("bn.weight"):
+                arr = np.ones(shape, np.float32)
+            elif name.endswith("running_mean") or name.endswith("bn.bias") \
+                    or name.endswith("conv3d.bias"):
+                arr = np.zeros(shape, np.float32)
+            else:  # He-scaled conv kernels keep the net input-sensitive
+                fan_in = int(np.prod(shape[1:]))
+                arr = rng.randn(*shape).astype(np.float32) / np.sqrt(fan_in)
+            sd[name] = torch.from_numpy(arr)
+        path = str(tmp_path / "i3d_rgb.pt")
+        torch.save(sd, path)
+
+        params = load_i3d_params(path)
+        vids = jnp.asarray(rng.rand(1, 8, 64, 64, 3).astype(np.float32))
+        logits = np.asarray(_i3d_logits(params, vids))
+        assert logits.shape == (1, 400)
+        assert np.isfinite(logits).all()
+        # deterministic + input-sensitive
+        logits2 = np.asarray(_i3d_logits(params, vids))
+        np.testing.assert_array_equal(logits, logits2)
+        other = np.asarray(_i3d_logits(params, vids * 0.5))
+        assert np.abs(other - logits).max() > 0
+
+    def test_alexnet_lpips_checkpoint_roundtrip(self, tmp_path):
+        import torch
+
+        from video_gcp_tpu.evaluation.lpips import (
+            _ALEXNET_CONVS,
+            alexnet_feature_fn,
+            lpips_distance,
+        )
+
+        rng = np.random.RandomState(0)
+        sd, in_ch = {}, 3
+        conv_idx = [0, 3, 6, 8, 10]
+        for i, (out_ch, k, _, _) in enumerate(_ALEXNET_CONVS):
+            sd[f"features.{conv_idx[i]}.weight"] = torch.from_numpy(
+                rng.randn(out_ch, in_ch, k, k).astype(np.float32) * 0.05)
+            sd[f"features.{conv_idx[i]}.bias"] = torch.zeros(out_ch)
+            sd[f"lin{i}.model.1.weight"] = torch.from_numpy(
+                np.abs(rng.randn(1, out_ch, 1, 1)).astype(np.float32))
+            in_ch = out_ch
+        path = str(tmp_path / "alex_lpips.pth")
+        torch.save(sd, path)
+
+        fn = alexnet_feature_fn(path)
+        assert fn.lins is not None and len(fn.lins) == 5
+        a = rng.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1
+        d_same = lpips_distance(a, a.copy(), fn)
+        d_diff = lpips_distance(a, -a, fn)
+        assert np.allclose(d_same, 0.0, atol=1e-5)
+        assert (d_diff > d_same + 1e-4).all()
+
+    def test_env_fallback_is_proxy(self, monkeypatch):
+        from video_gcp_tpu.evaluation import fvd, lpips
+
+        monkeypatch.delenv(fvd.I3D_WEIGHTS_ENV, raising=False)
+        monkeypatch.delenv(lpips.LPIPS_WEIGHTS_ENV, raising=False)
+        assert fvd.default_embed_fn()[1] == "random-proxy"
+        assert lpips.default_feature_fn()[1] == "random-proxy"

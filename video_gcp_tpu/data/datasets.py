@@ -40,6 +40,8 @@ except ImportError:  # pragma: no cover
 
 def resize_video(video: np.ndarray, size) -> np.ndarray:
     """[T, H, W, C] uint8 -> resized (cv2 area interpolation)."""
+    if video.shape[1] == size[0] and video.shape[2] == size[1]:
+        return video
     t = video.shape[0]
     if video.shape[1:3] == tuple(size):
         return video
@@ -136,6 +138,8 @@ class VarLenVideoDataset(BaseVideoDataset):
         super().__init__(data_dir, mpar, data_conf, phase, shuffle, dataset_size)
         self.filenames = self._get_filenames()
         self.traj_per_file = self._get_traj_per_file(self.filenames[0])
+        self.ram_cache = mpar.get("ram_cache", True)
+        self._cache = {}
 
     def _get_filenames(self):
         raise NotImplementedError
@@ -157,39 +161,57 @@ class VarLenVideoDataset(BaseVideoDataset):
             return min(self.dataset_size, full)
         return full
 
-    def __getitem__(self, index) -> AttrDict:
-        path = self.filenames[index // self.traj_per_file]
-        try:
-            with h5py.File(path, "r") as f:
-                ex = index % self.traj_per_file
-                key = f"traj{ex}"
-                data_dict = AttrDict()
-                if key + "/images" in f:
-                    data_dict.images = f[key + "/images"][()]
-                for name in ["states", "actions", "pad_mask"]:
-                    if key + "/" + name in f:
-                        data_dict[name] = f[key + "/" + name][()].astype(
-                            np.float32
-                        )
+    def _load_traj(self, index) -> AttrDict:
+        """Raw trajectory arrays, RAM-cached after first access.
 
-                end_ind = int(np.argmax(
-                    data_dict.pad_mask
-                    * np.arange(data_dict.pad_mask.shape[0], dtype=np.float32)
-                ))
-                start_ind = (
-                    self._rng.randint(0, max(end_ind - 1, 1))
-                    if self.randomize_start else 0
-                )
-                start_ind, end_ind, data_dict = self._sample_max_len_video(
-                    data_dict, start_ind, end_ind
-                )
-                if self.randomize_length:
-                    end_ind = self._randomize_length(start_ind, end_ind, data_dict)
-                data_dict.end_ind = end_ind
-                data_dict.start_ind = start_ind
-                return self.process_data_dict(data_dict)
-        except Exception as e:
-            raise ValueError(f"Problem loading file {path}: {e}") from e
+        The cache stores images already camera-selected and resized to img_sz
+        (uint8), so steady-state epochs touch neither disk nor cv2 — on a
+        single-core host the input pipeline otherwise starves the TPU. A
+        2.5k-trajectory nav dataset caches in ~3 GB. Disable with model param
+        `ram_cache=False` for datasets larger than host RAM.
+        """
+        cached = self._cache.get(index) if self.ram_cache else None
+        if cached is None:
+            path = self.filenames[index // self.traj_per_file]
+            try:
+                with h5py.File(path, "r") as f:
+                    key = f"traj{index % self.traj_per_file}"
+                    cached = AttrDict()
+                    if key + "/images" in f:
+                        imgs = f[key + "/images"][()]
+                        if imgs.ndim == 5:
+                            imgs = imgs[:, 0]  # camera axis
+                        cached.images = resize_video(
+                            imgs, (self.img_sz, self.img_sz))
+                    for name in ["states", "actions", "pad_mask"]:
+                        if key + "/" + name in f:
+                            cached[name] = f[key + "/" + name][()].astype(
+                                np.float32)
+            except Exception as e:
+                raise ValueError(f"Problem loading file {path}: {e}") from e
+            if self.ram_cache:
+                self._cache[index] = cached
+        # fresh AttrDict: downstream pops/renames keys (arrays are not mutated)
+        return AttrDict(cached)
+
+    def __getitem__(self, index) -> AttrDict:
+        data_dict = self._load_traj(index)
+        end_ind = int(np.argmax(
+            data_dict.pad_mask
+            * np.arange(data_dict.pad_mask.shape[0], dtype=np.float32)
+        ))
+        start_ind = (
+            self._rng.randint(0, max(end_ind - 1, 1))
+            if self.randomize_start else 0
+        )
+        start_ind, end_ind, data_dict = self._sample_max_len_video(
+            data_dict, start_ind, end_ind
+        )
+        if self.randomize_length:
+            end_ind = self._randomize_length(start_ind, end_ind, data_dict)
+        data_dict.end_ind = end_ind
+        data_dict.start_ind = start_ind
+        return self.process_data_dict(data_dict)
 
     def _sample_max_len_video(self, data_dict, start_ind, end_ind):
         """Random max_seq_len window at train time; pad/crop to fixed length

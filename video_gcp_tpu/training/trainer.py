@@ -73,6 +73,8 @@ def parse_args(argv=None):
     p.add_argument("--feed_random_data", default=0, type=int)
     p.add_argument("--debug", default=0, type=int)
     p.add_argument("--verbose_timing", default=0, type=int)
+    p.add_argument("--val_metric_batches", default=4, type=int,
+                   help="val batches used for the quick PSNR/SSIM/MSE stand-in")
     return p.parse_args(argv)
 
 
@@ -349,7 +351,7 @@ class ModelTrainer:
             for k, v in losses.items():
                 losses_acc.setdefault(k, []).append(float(v))
             n += 1
-            if n == 1:
+            if n <= self.args.val_metric_batches:
                 self._quick_image_metrics(batch, val_rng, img_metrics)
         step = int(self.state.step)
         for k, vals in losses_acc.items():
