@@ -9,6 +9,7 @@ import pytest
 
 from video_gcp_tpu.core import AttrDict
 from video_gcp_tpu.models.hyperparameters import default_hparams
+from video_gcp_tpu.models.sequential import SequentialModel
 from video_gcp_tpu.models.tree import TreeModel
 from video_gcp_tpu.planning.cem.cem_planner import (
     CEMPlanner,
@@ -41,6 +42,32 @@ def sim():
         I_0=jnp.zeros((2, IMG, IMG, 3)), I_g=jnp.zeros((2, IMG, IMG, 3)),
         end_ind=jnp.array([T - 1, T - 1]), start_ind=jnp.zeros((2,), jnp.int32),
         z=jnp.zeros((2, 2 ** L - 1, NZ)),
+    )
+    params = jax.jit(
+        lambda i: model.init({"params": key, "sample": key}, i, "plan",
+                             "prior", True)
+    )(fake)
+    return GCPImageSimulator(model, params, append_latent=True)
+
+
+@pytest.fixture(scope="module")
+def seq_sim():
+    """VRNN (sequential) predictor as the CEM rollout engine —
+    the gcp_sequential planning path (ref: planner_policy CEMPolicy over a
+    sequential checkpoint, experiments/control/*/gcp_sequential)."""
+    hp = default_hparams()
+    hp.overwrite(dict(
+        batch_size=1, max_seq_len=T, img_sz=IMG, hierarchy_levels=0,
+        regress_length=True, attach_inv_mdl=True,
+        inv_mdl_params=dict(n_actions=2), attach_state_regressor=True,
+        state_dim=2, n_actions=2, nz_vae=NZ,
+    ))
+    model = SequentialModel(hp=dict(hp))
+    key = jax.random.PRNGKey(0)
+    fake = AttrDict(
+        I_0=jnp.zeros((2, IMG, IMG, 3)), I_g=jnp.zeros((2, IMG, IMG, 3)),
+        end_ind=jnp.array([T - 1, T - 1]), start_ind=jnp.zeros((2,), jnp.int32),
+        z=jnp.zeros((2, T, NZ)),
     )
     params = jax.jit(
         lambda i: model.init({"params": key, "sample": key}, i, "plan",
@@ -115,6 +142,25 @@ class TestPlanners:
         pred, actions, latents, score = planner(state, goal)
         assert planner._sampler.fully_optimized
         assert np.isfinite(np.asarray(score)).all()
+
+
+class TestSequentialPlanner:
+    """End-to-end flat CEM over per-step VRNN latents (gcp_sequential path)."""
+
+    def test_sequential_flat_cem(self, seq_sim):
+        rng = np.random.RandomState(0)
+        state = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        goal = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        L2ImageCost.LATENT_SIZE = 32
+        planner = CEMPlanner(dict(
+            action_dim=NZ, n_iters=2, batch_size=6, max_rollout_bs=6,
+            elite_frac=0.5, cost_fcn=L2ImageCost, dense_cost=False,
+            max_seq_len=T, horizon=T,
+        ), seq_sim)
+        pred, actions, latents, score = planner(state, goal)
+        assert np.asarray(pred).shape[1] == IMG * IMG * 3 + 32
+        assert actions is not None and np.asarray(actions).shape[-1] == 2
+        assert np.isfinite(float(score))
 
 
 class TestTreeOptimizerUnit:
