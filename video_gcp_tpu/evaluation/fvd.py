@@ -128,13 +128,11 @@ def i3d_param_shapes(num_classes: int = 400) -> dict:
 
 def load_i3d_params(path: str) -> dict:
     """Torch checkpoint -> {name: np.ndarray} with conv kernels transposed to
-    jax DHWIO layout and BN folded to (scale, shift)."""
-    import torch
+    jax DHWIO layout and BN folded to (scale, shift). Read with the
+    torch-free zip-checkpoint reader (core/torch_ckpt.py)."""
+    from video_gcp_tpu.core.torch_ckpt import load_state_dict
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    sd = load_state_dict(path)
     params = {}
     for key, val in sd.items():
         if key.endswith("conv3d.weight"):

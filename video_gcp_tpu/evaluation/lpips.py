@@ -63,12 +63,9 @@ def _random_features(x: jnp.ndarray, seed: int = 0):
 
 
 def _load_torch_arrays(path: str) -> dict:
-    import torch
+    from video_gcp_tpu.core.torch_ckpt import load_state_dict
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
-    return {k: np.asarray(v) for k, v in sd.items()}
+    return load_state_dict(path)
 
 
 def load_lpips_params(weights_path: str) -> dict:
