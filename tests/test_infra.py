@@ -149,3 +149,65 @@ class TestControlPerf:
         res2 = compute_control_perf(data2, n_rooms=9, max_seq_len=100)
         assert res2["success_rate"] == 0.0
         assert res2["penalized_cost"] == 100
+
+
+class TestTopDownRenderFastPath:
+    def test_u8_traj_render_matches_float_renderer(self):
+        """The dataset re-render path (render_traj_top_down_u8) must be
+        pixel-identical (up to the [0,1]->255 rounding) to the float
+        renderer the env uses at control time, so train and test
+        observations stay matched (multiroom3d_env.py:150-219)."""
+        from video_gcp_tpu.planning.infra.envs.multiroom2d import (
+            Multiroom2dEnv,
+        )
+
+        env = Multiroom2dEnv({"n_rooms": 9}, no_env=True, crop_window=40)
+        rng = np.random.RandomState(3)
+        ts = env._layout.table_size
+        states = rng.uniform(-0.45 * ts, 0.45 * ts, (11, 2))
+        out = np.zeros((11, 80, 80, 3), np.uint8)
+        env.render_traj_top_down_u8(states, states[-1], out)
+        for t in range(11):
+            ref = np.asarray(
+                env.render_pos_top_down(states[t], states[-1]) * 255,
+                np.uint8,
+            )
+            assert np.abs(ref.astype(int) - out[t].astype(int)).max() <= 1
+
+    def test_maze_dataset_skips_stored_images(self, tmp_path):
+        """MazeTopRendered... re-renders from states; the h5 image read must
+        be skipped entirely (load_h5_images False)."""
+        import h5py
+
+        from video_gcp_tpu.core.attrdict import AttrDict
+        from video_gcp_tpu.data.datasets import (
+            MazeTopRenderedGlobalSplitVarLenVideoDataset,
+        )
+
+        t = 12
+        d = tmp_path / "hdf5" / "train"
+        d.mkdir(parents=True)
+        with h5py.File(d / "traj_0.h5", "w") as f:
+            f.create_dataset("traj_per_file", data=1)
+            f.create_dataset("traj0/images",
+                             data=np.zeros((t, 1, 16, 16, 3), np.uint8))
+            f.create_dataset(
+                "traj0/states",
+                data=np.tile(np.linspace(-0.3, 0.3, t)[:, None], (1, 5)),
+            )
+            f.create_dataset("traj0/actions", data=np.zeros((t - 1, 2)))
+            f.create_dataset("traj0/pad_mask", data=np.ones(t))
+        data_conf = AttrDict(
+            dataset_spec=AttrDict(max_seq_len=t,
+                                  split=AttrDict(train=1.0, val=0.0, test=0.0)),
+            n_rooms=9,
+            crop_window=40,
+        )
+        ds = MazeTopRenderedGlobalSplitVarLenVideoDataset(
+            str(tmp_path), dict(use_convs=True, img_sz=16), data_conf, "train"
+        )
+        ex = ds[0]
+        assert ex.traj_seq.shape == (t, 16, 16, 3)
+        # stored images are all-zero; re-rendered frames must not be
+        assert np.asarray(ex.traj_seq).std() > 0.01
+        assert "images" not in ds._cache.get(0, {})

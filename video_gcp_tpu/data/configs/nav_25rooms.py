@@ -12,6 +12,9 @@ config = AttrDict(
         max_seq_len=200,
         dataset_class=Nav25Rooms,
         split=AttrDict(train=0.994, val=0.006, test=0.00),
+        # published nav dataset dims (see nav_9rooms.py note)
+        state_dim=2,
+        n_actions=2,
     ),
     n_rooms=25,
     crop_window=40,

@@ -37,6 +37,11 @@ config = AttrDict(
         max_seq_len=100,
         dataset_class=Nav9Rooms,
         split=AttrDict(train=0.994, val=0.006, test=0.00),
+        # published nav dataset dims (the reference ships these in the
+        # dataset's dataset_spec.py, merged into the model config at
+        # gcp_builder.py:67-68): (x, y) planar state, (dx, dy) action
+        state_dim=2,
+        n_actions=2,
     ),
     n_rooms=9,
     crop_window=40,

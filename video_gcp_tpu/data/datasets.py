@@ -70,6 +70,10 @@ class BaseVideoDataset:
         self.randomize_start = mpar.get("randomize_start", False)
         self.states_mean = self.spec.get("states_mean", None)
         self.states_std = self.spec.get("states_std", None)
+        # subclasses that re-render observations from states (maze top-down)
+        # set this False: skips the h5 image read + resize entirely, which
+        # otherwise dominates loading (stored frames would be discarded)
+        self.load_h5_images = True
         self._rng = np.random.RandomState()
 
     @property
@@ -177,7 +181,7 @@ class VarLenVideoDataset(BaseVideoDataset):
                 with h5py.File(path, "r") as f:
                     key = f"traj{index % self.traj_per_file}"
                     cached = AttrDict()
-                    if key + "/images" in f:
+                    if self.load_h5_images and key + "/images" in f:
                         imgs = f[key + "/images"][()]
                         if imgs.ndim == 5:
                             imgs = imgs[:, 0]  # camera axis
@@ -321,6 +325,7 @@ class MazeTopRenderedGlobalSplitVarLenVideoDataset(
 
         super().__init__(data_dir, mpar, data_conf, phase, shuffle, dataset_size)
         assert "n_rooms" in data_conf, "need n_rooms in dataset config"
+        self.load_h5_images = False  # observations are re-rendered below
         self._crop_window_px = data_conf["crop_window"]
         self._render_env = Multiroom2dEnv(
             {"n_rooms": data_conf["n_rooms"]}, no_env=True,
@@ -328,20 +333,19 @@ class MazeTopRenderedGlobalSplitVarLenVideoDataset(
         )
 
     def process_data_dict(self, data_dict):
-        if "images" in data_dict:
-            assert "states" in data_dict and "end_ind" in data_dict
-            w = self._crop_window_px
-            rendered = np.zeros(
-                (data_dict["images"].shape[0], 1, w * 2, w * 2, 3),
-                dtype=data_dict["images"].dtype,
-            )
-            end = data_dict["end_ind"]
-            for t in range(end + 1):
-                raw = self._render_env.render_pos_top_down(
-                    data_dict["states"][t, :2], data_dict["states"][end, :2]
-                )
-                rendered[t, 0] = np.asarray(raw * 255, dtype=rendered.dtype)
-            data_dict["images"] = rendered
+        assert "states" in data_dict and "end_ind" in data_dict
+        w = self._crop_window_px
+        rendered = np.zeros(
+            (data_dict["states"].shape[0], 1, w * 2, w * 2, 3),
+            dtype=np.uint8,
+        )
+        end = data_dict["end_ind"]
+        self._render_env.render_traj_top_down_u8(
+            data_dict["states"][: end + 1],
+            data_dict["states"][end, :2],
+            rendered[: end + 1, 0],
+        )
+        data_dict["images"] = rendered
         return super().process_data_dict(data_dict)
 
 

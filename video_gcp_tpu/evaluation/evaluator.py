@@ -37,10 +37,16 @@ class Evaluator:
 
     def __init__(self, model, logdir: str, hp, max_seq_len: int,
                  pruning_scheme: str = "dtw", top_of_100: bool = True,
-                 top_comp_metric: str = "mse", use_images: bool = True):
+                 top_comp_metric: str = "mse", use_images: bool = True,
+                 eval_logger=None):
         self.model = model
         self._logdir = os.path.join(logdir, "metrics")
         os.makedirs(self._logdir, exist_ok=True)
+        if eval_logger is None:
+            from video_gcp_tpu.evaluation.eval_logger import FileEvalLogger
+
+            eval_logger = FileEvalLogger(self._logdir)
+        self._eval_logger = eval_logger
         self._pruning_scheme = pruning_scheme
         self._top_of = 100 if top_of_100 else 1
         self._metric = top_comp_metric
@@ -225,6 +231,9 @@ class Evaluator:
                 f"{name}: best_mean {best.mean():.6f} best_std {best.std():.6f} "
                 f"sample_std {vals.std(axis=1).mean():.6f}"
             )
+            self._eval_logger.log_metric(
+                name, vals if self._top_of > 1 else None, best, it
+            )
         print(*print_st, sep=",")
         with open(os.path.join(self._logdir, f"results_{it}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
@@ -254,3 +263,14 @@ class Evaluator:
                 np.transpose(samples[: self.N_PLOTTED_ELEMENTS],
                              (0, 1, 2, 5, 3, 4)),
             )
+
+        # qualitative GT-vs-best strips + gifs through the logging backend
+        # (compute_metrics.py dump_gifs/dump_diverse_samples)
+        from video_gcp_tpu.evaluation.visualization import seq_strip
+
+        for i in range(min(self.N_PLOTTED_ELEMENTS, gt.shape[0])):
+            strip = np.concatenate(
+                [seq_strip(gt[i][None]), seq_strip(gen[i][None])], axis=0
+            )
+            self._eval_logger.log_image(strip, "gt_vs_best", i, it)
+            self._eval_logger.log_gif(gen[i], "best_gen", i, it)

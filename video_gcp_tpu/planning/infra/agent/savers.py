@@ -116,8 +116,29 @@ class HDF5Saver:
             for i, traj in enumerate(self._buffer):
                 for k, v in traj.items():
                     f.create_dataset(f"traj{i}/{k}", data=v)
+        self._write_dataset_spec(self._buffer[0])
         self._buffer = []
         self._file_cntr += 1
+
+    def _write_dataset_spec(self, traj):
+        """Ship a `dataset_spec.py` with the data, like the published datasets
+        (the training builder loads it and merges the dims into the model
+        config, gcp_builder.py:149-163). Raw dims recorded here; dataset
+        config modules may override (e.g. maze datasets train on (x, y) only).
+        """
+        spec_path = os.path.join(self.save_dir, "dataset_spec.py")
+        if os.path.exists(spec_path):
+            return
+        spec = {
+            "max_seq_len": int(self.max_num_actions),
+            "state_dim": int(traj.states.shape[-1]) if "states" in traj else -1,
+            "n_actions": int(traj.actions.shape[-1]),
+        }
+        body = ",\n    ".join(f"{k}={v}" for k, v in spec.items())
+        with open(spec_path, "w") as f:
+            f.write("# auto-generated by HDF5Saver at data collection time\n"
+                    "from video_gcp_tpu.core.attrdict import AttrDict\n\n"
+                    f"dataset_spec = AttrDict(\n    {body},\n)\n")
 
     def flush(self):
         if self._buffer:

@@ -327,6 +327,37 @@ class Multiroom2dEnv(BaseEnv):
         cv2.line(img, goal, goal, (0.0, 1.0, 0), 10 if not large_goal else 20)
         return img
 
+    def render_traj_top_down_u8(self, states, goal_pos, out):
+        """Render a whole trajectory of agent positions against one goal into
+        `out` [T, 2w, 2w, 3] uint8 — the per-frame loop of the dataset
+        re-render path with all position conversions vectorized (one numpy
+        pass instead of T python `convert` calls)."""
+        assert self._crop_window is not None
+        if not hasattr(self, "_static_u8_topdown"):
+            self._static_u8_topdown = np.ascontiguousarray(
+                (self._static_img_topdown * 255).astype(np.uint8)
+            )
+        full = self._static_u8_topdown
+        w = self._crop_window
+        s = self._topdown_render_scale
+        pos = np.asarray(states)[:, :2] + 0.5 * self._layout.table_size
+        px = (pos[:, 0] * s).astype(np.int64) + w
+        py = full.shape[0] - (pos[:, 1] * s).astype(np.int64) - w
+        np.maximum(px, w, out=px)
+        np.maximum(py, w, out=py)
+        g = np.asarray(goal_pos)[:2] + 0.5 * self._layout.table_size
+        gx = int(g[0] * s) + w
+        gy = full.shape[0] - int(g[1] * s) - w
+        t = len(px)
+        for i in range(t):
+            x, y = px[i], py[i]
+            img = out[i]
+            img[...] = full[y - w:y + w, x - w:x + w]
+            cv2.line(img, (w, w), (w, w), (0, 0, 255), 10)
+            cv2.line(img, (gx - x + w, gy - y + w), (gx - x + w, gy - y + w),
+                     (0, 255, 0), 10)
+        return out
+
     @property
     def adim(self):
         return self._adim

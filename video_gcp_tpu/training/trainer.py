@@ -282,6 +282,7 @@ class ModelTrainer:
     def run_metric_eval(self):
         """Full top-of-100 metric evaluation on the val set (--metric 1;
         reference train.py runs the Evaluator inside val when --metric)."""
+        from video_gcp_tpu.evaluation.eval_logger import TBEvalLogger
         from video_gcp_tpu.evaluation.evaluator import Evaluator
 
         evaluator = Evaluator(
@@ -292,6 +293,9 @@ class ModelTrainer:
             pruning_scheme=self.conf["metric_pruning_scheme"],
             top_of_100=bool(self.conf["top_of_100_eval"]),
             use_images=self.hp["use_convs"],
+            eval_logger=TBEvalLogger(
+                os.path.join(self.exp_path, "metrics"), self.logger
+            ),
         )
         rng = jax.random.PRNGKey(123)
         for i, batch in enumerate(self.val_loader):
@@ -303,16 +307,37 @@ class ModelTrainer:
         self.logger.flush()
         return summary
 
+    # with --verbose_timing, steps [start, stop) of the first trained epoch
+    # are captured into exp_path/profile as a jax.profiler trace (view with
+    # tensorboard / xprof; SURVEY §5.1). Step 0 is skipped so the compile
+    # doesn't dominate the trace.
+    PROFILE_STEPS = (2, 7)
+
     def train_epoch(self, epoch: int):
         meters = AttrDict(data=AverageMeter(), step=AverageMeter())
         log_interval = self.args.log_outputs_interval
         n_batches = len(self.train_loader)
+        profile = self.args.verbose_timing and epoch == self.start_epoch
         t0 = time.time()
         epoch_rng = jax.random.fold_in(self.rng, epoch)
         for i, batch in enumerate(self.train_loader):
             t1 = time.time()
             meters.data.update(t1 - t0)
+            if profile and i == self.PROFILE_STEPS[0]:
+                jax.profiler.start_trace(os.path.join(self.exp_path, "profile"))
             self.state, metrics = self.train_step(self.state, batch, epoch_rng)
+            if profile and i + 1 == self.PROFILE_STEPS[1]:
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), self.state.params
+                )
+                jax.profiler.stop_trace()
+                print(f"[profile] trace for steps {self.PROFILE_STEPS} "
+                      f"written to {self.exp_path}/profile")
+                profile = False
+            if self.args.verbose_timing and i < 20:
+                jax.block_until_ready(metrics)
+                print(f"[timing] it {i}: t_data {t1 - t0:.4f}s "
+                      f"t_step {time.time() - t1:.4f}s")
             if i % log_interval == 0:
                 metrics = jax.device_get(metrics)
                 step = int(self.state.step)
@@ -353,6 +378,8 @@ class ModelTrainer:
             n += 1
             if n <= self.args.val_metric_batches:
                 self._quick_image_metrics(batch, val_rng, img_metrics)
+            if n == 1:
+                self._log_posterior_viz(batch, val_rng)
         step = int(self.state.step)
         for k, vals in losses_acc.items():
             self.logger.log_scalar(np.mean(vals), k + "_loss", step, "val")
@@ -371,8 +398,6 @@ class ModelTrainer:
     def _quick_image_metrics(self, batch, rng, acc):
         """Prior-sample PSNR/SSIM/MSE on one val batch (cheap stand-in for the
         full top-of-100 evaluator, which lives in evaluation/)."""
-        if not self.hp.get("use_convs", True):
-            return  # image metrics over state vectors are meaningless
         if not hasattr(self, "_prior_apply"):
             # cache the jitted fn: a fresh jax.jit per epoch would recompile
             self._prior_apply = jax.jit(
@@ -385,6 +410,8 @@ class ModelTrainer:
         if pred is None:
             return
         self._log_val_images(out, batch, pred)
+        if not self.hp.get("use_convs", True):
+            return  # image metrics over state vectors are meaningless
         mask = np.asarray(batch.pad_mask)
         p = np.asarray(psnr(pred, batch.traj_seq))
         s = np.asarray(ssim(pred, batch.traj_seq))
@@ -396,11 +423,15 @@ class ModelTrainer:
 
     def _log_val_images(self, out, batch, pred):
         """Per-epoch TB visualizations (HierarchyLogger family)."""
+        step = int(self.state.step)
         if not self.hp.get("use_convs", True):
+            # state-space models: top-down overlay of the predicted
+            # trajectory itself (base_gcp.py:329-330 prediction_topdown)
+            if pred is not None:
+                self._log_topdown_overlay(out, batch, pred,
+                                          "prediction_topdown", step)
             return
         from video_gcp_tpu.evaluation import visualization as vis
-
-        step = int(self.state.step)
         gt = jax.device_get(batch.traj_seq)
         gen = jax.device_get(pred)
         self.logger.log_images(
@@ -425,6 +456,68 @@ class ModelTrainer:
                                         jax.device_get(out.prune_keep))[None],
                     "pruned_pred", step, "val",
                 )
+
+    def _log_posterior_viz(self, batch, rng):
+        """Train-mode posterior visualizations on one val batch per epoch:
+        GT-match overview + attention masks (logger.py:195-199, tree.py:104)
+        and the regressed-state top-down overlay (base_gcp.py:313-316) —
+        these need the matched timeline / aux outputs, which only the train
+        phase produces."""
+        want_overlay = hasattr(self._dataset_class(), "render_trajectory")
+        use_convs = self.hp.get("use_convs", True)
+        if not (use_convs or want_overlay):
+            return
+        if not hasattr(self, "_posterior_apply"):
+            self._posterior_apply = jax.jit(
+                lambda p, b, r, s: self.model.apply(
+                    p, b, "train", "posterior", step=s, rngs={"sample": r}
+                )
+            )
+        out = self._posterior_apply(self.state.params, batch, rng,
+                                    self.state.step)
+        step = int(self.state.step)
+        if use_convs and "tree" in out:
+            from video_gcp_tpu.evaluation import visualization as vis
+
+            imgs = jax.device_get(out.tree.images)
+            gt = jax.device_get(batch.traj_seq)
+            if "gt_match_dists" in out:
+                self.logger.log_images(
+                    vis.plot_gt_matching_overview(
+                        imgs, jax.device_get(out.gt_match_dists), gt
+                    )[None],
+                    "gt_match_overview", step, "val",
+                )
+            if out.tree.get("gamma", None) is not None:
+                gamma = np.asarray(jax.device_get(out.tree.gamma))
+                if gamma.ndim == 4:  # [B, N, heads, T] -> head-averaged
+                    gamma = gamma.mean(2)
+                self.logger.log_images(
+                    vis.plot_gt_matching_overview(imgs, gamma, gt)[None],
+                    "attention_masks", step, "val",
+                )
+        if want_overlay and "regressed_state" in out:
+            self._log_topdown_overlay(out, batch, out.regressed_state,
+                                      "regressed_state_topdown", step)
+
+    def _log_topdown_overlay(self, out, batch, predictions, name, step):
+        """Dataset-protocol trajectory overlay (logger.py:271-289
+        log_dataset_specific_trajectory): the dataset class renders GT vs
+        predicted states into its top-down view."""
+        dset_cls = self._dataset_class()
+        if not hasattr(dset_cls, "render_trajectory"):
+            return
+        im = dset_cls.render_trajectory(
+            out, batch, np.asarray(jax.device_get(predictions)),
+            np.asarray(jax.device_get(batch.end_ind)),
+        )
+        if "image" in im:
+            # renderer returns [N, H, W, 3] in [0, 1]; Logger expects [-1, 1]
+            self.logger.log_images(np.asarray(im["image"]) * 2.0 - 1.0,
+                                   name, step, "val")
+        if "video" in im:
+            self.logger.log_video(np.asarray(im["video"]) * 2.0 - 1.0,
+                                  name, step, "val")
 
     def _dense_prediction(self, out, batch):
         """Dense [B, T, ...] prediction for metric computation."""
