@@ -16,6 +16,17 @@ def _to01(x):
     return jnp.clip((x + 1.0) / 2.0, 0.0, 1.0)
 
 
+def to_float_images(x):
+    """uint8 [0, 255] -> float32 [-1, 1]; floats pass through unchanged.
+
+    The input pipeline ships image batches as uint8 (4x less host->device
+    traffic — on a tunneled TPU the transfer otherwise dominates step time)
+    and normalization runs on device at the consumer."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 127.5 - 1.0
+    return x
+
+
 def mse(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     """Per-image mean squared error in [0,1] range. Reduces over the trailing
     (H, W, C) axes; preserves leading axes."""

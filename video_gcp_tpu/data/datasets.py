@@ -111,15 +111,20 @@ class BaseVideoDataset:
         if "traj_seq_images" in data_dict:
             data_dict.I_0_image = data_dict.traj_seq_images[0]
             data_dict.I_g_image = data_dict.traj_seq_images[data_dict.end_ind]
+            if not self.use_states:
+                # identical to traj_seq; don't ship the batch twice
+                del data_dict["traj_seq_images"]
         return data_dict
 
     def preprocess_images(self, images: np.ndarray) -> np.ndarray:
-        """uint8 -> [-1, 1] float32 NHWC at img_sz (data_loader.py:213-224)."""
+        """uint8 NHWC at img_sz (data_loader.py:213-224 resizes + normalizes
+        on host; here normalization to [-1, 1] happens on device —
+        core.metrics.to_float_images — so batches cross the host->device
+        link at 1/4 the bytes)."""
         if images.ndim == 5:
             images = images[:, 0]  # camera axis
         assert images.dtype == np.uint8, "images must be uint8"
-        images = resize_video(images, (self.img_sz, self.img_sz))
-        return images.astype(np.float32) / 255.0 * 2.0 - 1.0
+        return resize_video(images, (self.img_sz, self.img_sz))
 
     @staticmethod
     def get_dataset_spec(data_dir):

@@ -32,6 +32,13 @@ LOWER_IS_BETTER = ["mse"]
 HIGHER_IS_BETTER = ["psnr", "ssim"]
 
 
+def _host_float_images(x: np.ndarray) -> np.ndarray:
+    """Host-side twin of core.metrics.to_float_images (uint8 batches)."""
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) / 127.5 - 1.0
+    return x
+
+
 class Evaluator:
     N_PLOTTED_ELEMENTS = 5
 
@@ -57,6 +64,10 @@ class Evaluator:
         scheme = pruning_scheme
 
         def eval_sample(params, inputs, rng):
+            from video_gcp_tpu.core.metrics import to_float_images
+
+            inputs = AttrDict(inputs)
+            inputs.traj_seq = to_float_images(inputs.traj_seq)
             out = model.apply(params, inputs, "test", "prior", False,
                               rngs={"sample": rng})
             gen = dense_sample(out, inputs, scheme, max_seq_len)
@@ -172,7 +183,9 @@ class Evaluator:
             metrics=buf,
             best_gen=best_gen,
             best_full=best_full,
-            gt_seq=np.asarray(jax.device_get(inputs.traj_seq)),
+            gt_seq=_host_float_images(
+                np.asarray(jax.device_get(inputs.traj_seq))
+            ),
             end_ind=np.asarray(jax.device_get(inputs.end_ind)),
             rand_seqs=rand_seqs,
         )

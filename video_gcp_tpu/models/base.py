@@ -184,9 +184,15 @@ class BaseGCPModel(nn.Module):
     # ----- shared forward pieces ---------------------------------------------
 
     def preprocess_inputs(self, inputs: AttrDict) -> AttrDict:
-        """non_goal_conditioned zeroing (base_gcp.py:163-175)."""
+        """uint8 image batches -> [-1, 1] floats on device, then
+        non_goal_conditioned zeroing (base_gcp.py:163-175)."""
+        from video_gcp_tpu.core.metrics import to_float_images
+
         hp = self.hp
         inputs = inputs.copy()
+        for key in ("traj_seq", "I_0", "I_g"):
+            if key in inputs:
+                inputs[key] = to_float_images(inputs[key])
         if hp["non_goal_conditioned"]:
             if "traj_seq" in inputs:
                 b = inputs.traj_seq.shape[0]

@@ -43,9 +43,11 @@ class BCModel(BaseGCPModel):
     def __call__(self, inputs: AttrDict, phase: str = "train",
                  mode: str = "posterior", pred_length: bool = False,
                  step=0) -> AttrDict:
+        from video_gcp_tpu.core.metrics import to_float_images
+
         hp = self.hp
-        enc_seq = self._encode_seq(inputs.traj_seq)
-        enc_goal, _ = self.encoder(inputs.I_g)
+        enc_seq = self._encode_seq(to_float_images(inputs.traj_seq))
+        enc_goal, _ = self.encoder(to_float_images(inputs.I_g))
         fused = jnp.concatenate(
             [enc_seq,
              jnp.broadcast_to(enc_goal[:, None], enc_seq.shape)], axis=-1

@@ -201,8 +201,11 @@ class ModelTrainer:
             n_repeat=self.conf["epoch_cycles_train"], sharding=sharding,
             num_workers=n_workers,
         )
+        # drop_last=False: published split fractions leave val sets smaller
+        # than one train batch (0.006 of the dataset); dropping short batches
+        # would validate on nothing
         val_loader = DataLoader(val_set, bs, shuffle=False, sharding=sharding,
-                                num_workers=n_workers)
+                                num_workers=n_workers, drop_last=False)
         return train_loader, val_loader
 
     def _dataset_class(self):
@@ -398,6 +401,10 @@ class ModelTrainer:
     def _quick_image_metrics(self, batch, rng, acc):
         """Prior-sample PSNR/SSIM/MSE on one val batch (cheap stand-in for the
         full top-of-100 evaluator, which lives in evaluation/)."""
+        from video_gcp_tpu.core.metrics import to_float_images
+
+        batch = AttrDict(batch)
+        batch.traj_seq = to_float_images(batch.traj_seq)
         if not hasattr(self, "_prior_apply"):
             # cache the jitted fn: a fresh jax.jit per epoch would recompile
             self._prior_apply = jax.jit(
