@@ -103,16 +103,16 @@ class DataLoader:
         thread.start()
 
         def put(batch_np):
-            # short final batches (drop_last=False) may not divide the data
-            # mesh; place them unsharded rather than failing the epoch
+            # ONE device_put for the whole pytree: per-leaf puts pay a
+            # dispatch round-trip each, which dominates on a tunneled chip.
+            # Short final batches (drop_last=False) may not divide the data
+            # mesh; place them unsharded rather than failing the epoch.
             if self.sharding is not None:
                 n_shards = len(self.sharding.device_set)
                 b = next(iter(batch_np.values())).shape[0]
                 if b % n_shards == 0:
-                    return jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, self.sharding), batch_np
-                    )
-            return jax.tree_util.tree_map(jax.device_put, batch_np)
+                    return jax.device_put(batch_np, self.sharding)
+            return jax.device_put(batch_np)
 
         # device-transfer double buffer on top of the host producer queue
         pending = collections.deque()
