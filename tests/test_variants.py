@@ -194,3 +194,20 @@ class TestHparamVariants:
         # a separate start/goal encoder must add parameters
         names = set(p["params"].keys())
         assert any("start_goal" in n or "ConvEncoder_1" in n for n in names), names
+
+
+class TestAdaptiveShapeGuard:
+    def test_too_few_nodes_for_soft_dtw_raises(self):
+        """Adaptive matching needs 2^L-1 >= max_seq_len (no-horizontal
+        soft-DTW); must fail at model build with an actionable message, not
+        as a shape assert inside the loss."""
+        from video_gcp_tpu.models.tree import TreeModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H,
+                          hierarchy_levels=2,  # 3 nodes < T frames
+                          matching_type="dtw_latent"))
+        with pytest.raises(ValueError, match="hierarchy_levels"):
+            TreeModel(hp=dict(hp)).init(
+                {"params": KEY, "sample": KEY}, make_inputs(), "train",
+                "posterior")

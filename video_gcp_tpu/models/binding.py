@@ -164,6 +164,18 @@ class AdaptiveBinding(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
+        # soft-DTW with no-horizontal transitions needs >= 1 node per frame;
+        # surface the constraint here at model build instead of as a shape
+        # assert deep in the loss (ops/soft_dtw.py)
+        n_nodes = 2 ** self.hp["hierarchy_levels"] - 1
+        if n_nodes < self.hp["max_seq_len"]:
+            raise ValueError(
+                f"adaptive (soft-DTW) matching requires 2^hierarchy_levels-1 "
+                f">= max_seq_len nodes, got {n_nodes} nodes for "
+                f"max_seq_len={self.hp['max_seq_len']}; raise "
+                f"hierarchy_levels to >= "
+                f"{int(np.ceil(np.log2(self.hp['max_seq_len'] + 1)))}"
+            )
         self.distance_predictor = MLP(
             1, self.hp["nz_mid"], self.hp["n_processing_layers"], self.dtype
         )
