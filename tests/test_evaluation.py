@@ -224,3 +224,43 @@ class TestRealEmbeddingPaths:
         monkeypatch.delenv(lpips.LPIPS_WEIGHTS_ENV, raising=False)
         assert fvd.default_embed_fn()[1] == "random-proxy"
         assert lpips.default_feature_fn()[1] == "random-proxy"
+
+
+class TestEvalLoggers:
+    def test_file_logger_writes_metrics_and_images(self, tmp_path):
+        from video_gcp_tpu.evaluation.eval_logger import FileEvalLogger
+
+        lg = FileEvalLogger(str(tmp_path))
+        vals = np.random.rand(4, 10)
+        best = vals.min(1)
+        lg.log_metric("mse", vals, best, it=3)
+        assert "mean mse" in (tmp_path / "metrics_3.txt").read_text()
+        lg.log_image(np.zeros((8, 8, 3), np.float32), "gt_vs_best", 0, 3)
+        assert (tmp_path / "gt_vs_best" / "it_3" / "gt_vs_best_0.png").exists()
+        lg.log_array(np.arange(5), "raw", 3)
+        assert (tmp_path / "raw" / "it_3" / "raw.npy").exists()
+
+    def test_tb_logger_forwards_to_training_logger(self, tmp_path):
+        from video_gcp_tpu.evaluation.eval_logger import TBEvalLogger
+
+        calls = []
+
+        class FakeTB:
+            def log_scalar(self, v, name, step, phase=""):
+                calls.append(("scalar", name))
+
+            def log_images(self, im, name, step, phase=""):
+                calls.append(("image", name))
+
+            def log_video(self, im, name, step, phase=""):
+                calls.append(("video", name))
+
+        lg = TBEvalLogger(str(tmp_path), FakeTB())
+        vals = np.random.rand(4, 10)
+        lg.log_metric("psnr", vals, vals.max(1), it=7)
+        lg.log_image(np.zeros((8, 8, 3), np.float32), "gt_vs_best", 1, 7)
+        lg.log_gif(np.zeros((3, 8, 8, 3), np.float32), "best_gen", 1, 7)
+        names = [n for _, n in calls]
+        assert "eval/metric/psnr/top10_mean" in names
+        assert "eval/gt_vs_best/1" in names
+        assert "eval/best_gen/1" in names
