@@ -136,6 +136,29 @@ class TestHparamVariants:
         assert "dense_action_rec" in out.losses
         assert np.isfinite(float(out.losses.total.value))
 
+    def test_act_cond_inference_tree(self):
+        """act_cond_inference fuses zero-padded actions into the inference
+        encoding (ActionConditioningWrapper, misc.py:59-70)."""
+        from video_gcp_tpu.models.tree import TreeModel
+
+        hp = default_hparams()
+        hp.overwrite(dict(batch_size=B, max_seq_len=T, img_sz=H,
+                          hierarchy_levels=3, matching_type="balanced",
+                          seq_enc="conv", act_cond_inference=True,
+                          n_actions=2))
+        m = TreeModel(hp=dict(hp))
+        inputs = make_inputs()
+        p = jax.jit(lambda i: m.init({"params": KEY, "sample": KEY}, i,
+                                     "train", "posterior"))(inputs)
+        out = jax.jit(lambda p, i: m.apply(p, i, "train", "posterior",
+                                           rngs={"sample": KEY}))(p, inputs)
+        assert out.tree.images.shape == (B, 7, H, H, 3)
+        assert np.isfinite(float(out.losses.total.value))
+        # the action-fusion MLP must actually be in the param tree
+        flat = jax.tree_util.tree_flatten_with_path(p)[0]
+        assert any("act_cond_net" in "/".join(str(k) for k in path)
+                   for path, _ in flat)
+
     @pytest.mark.parametrize("flag", ["pixel_shift_decoder",
                                       "add_weighted_pixel_copy"])
     def test_dead_decoder_flags_raise(self, flag):

@@ -84,7 +84,6 @@ class BaseGCPModel(nn.Module):
         skip_from_parents=False,
         one_hot_attn_time_cond=False,
         regress_index=False,
-        act_cond_inference=False,
         train_on_action_seqs=False,
         supervised_decoder=False,
         states_inference=False,
@@ -163,6 +162,12 @@ class BaseGCPModel(nn.Module):
 
         self.inf_encoder = build_seq_encoder(hp, self.dtype)  # may be None
         self.inf_key_encoder = build_seq_encoder(hp, self.dtype)
+        if hp.get("act_cond_inference", False):
+            # action-conditioned inference: fuse (zero-padded) actions into
+            # the temporal inference encoding (ActionConditioningWrapper,
+            # auxilliary_models/misc.py:59-70)
+            self.act_cond_net = MLP(hp["nz_enc"], hp["nz_mid"],
+                                    hp["n_processing_layers"], self.dtype)
 
         if hp["regress_length"]:
             self.length_pred = LengthPredictor(hp, dtype=self.dtype)
@@ -217,6 +222,14 @@ class BaseGCPModel(nn.Module):
                 inputs.inf_enc_seq = self.inf_encoder(inputs.enc_traj_seq)
             else:
                 inputs.inf_enc_seq = inputs.enc_traj_seq
+            if hp.get("act_cond_inference", False):
+                # actions are [B, T-1, n_actions]; zero-pad the final step
+                # like the reference (misc.py:66-69) before fusing
+                acts = inputs.actions
+                pad_t = inputs.inf_enc_seq.shape[1] - acts.shape[1]
+                acts = jnp.pad(acts, ((0, 0), (0, max(pad_t, 0)), (0, 0)))
+                inputs.inf_enc_seq = self.act_cond_net(
+                    inputs.inf_enc_seq, acts[:, :inputs.inf_enc_seq.shape[1]])
             if self.inf_key_encoder is not None:
                 inputs.inf_enc_key_seq = self.inf_key_encoder(inputs.enc_traj_seq)
             else:
