@@ -211,3 +211,15 @@ class TestTopDownRenderFastPath:
         # stored images are all-zero; re-rendered frames must not be
         assert np.asarray(ex.traj_seq).std() > 0.01
         assert "images" not in ds._cache.get(0, {})
+
+        # the render is a pure function of the windowed state path: the
+        # second epoch must hit the content-hash render cache, not re-draw
+        calls = []
+        orig = ds._render_env.render_traj_top_down_u8
+        ds._render_env.render_traj_top_down_u8 = (
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        )
+        ex2 = ds[0]
+        assert not calls, "cached render path must skip the renderer"
+        np.testing.assert_array_equal(np.asarray(ex2.traj_seq),
+                                      np.asarray(ex.traj_seq))

@@ -19,6 +19,7 @@ published datasets load unchanged.
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 import random
 from typing import Optional
@@ -336,20 +337,39 @@ class MazeTopRenderedGlobalSplitVarLenVideoDataset(
             {"n_rooms": data_conf["n_rooms"]}, no_env=True,
             crop_window=self._crop_window_px,
         )
+        # rendered frames keyed by the windowed state path: the render is a
+        # pure function of (states[:end+1], crop_window), so caching on a
+        # content hash is correct even under randomized windows/lengths and
+        # makes steady-state epochs skip the renderer entirely (the single
+        # biggest t_data cost on a 1-core host feeding a TPU)
+        self._render_cache = {}
 
     def process_data_dict(self, data_dict):
         assert "states" in data_dict and "end_ind" in data_dict
-        w = self._crop_window_px
-        rendered = np.zeros(
-            (data_dict["states"].shape[0], 1, w * 2, w * 2, 3),
-            dtype=np.uint8,
-        )
         end = data_dict["end_ind"]
-        self._render_env.render_traj_top_down_u8(
-            data_dict["states"][: end + 1],
-            data_dict["states"][end, :2],
-            rendered[: end + 1, 0],
-        )
+        cache_key = None
+        rendered = None
+        if self.ram_cache:
+            path = np.ascontiguousarray(
+                data_dict["states"][: end + 1, :2], dtype=np.float32)
+            cache_key = (int(end), hashlib.md5(path.tobytes()).hexdigest())
+            rendered = self._render_cache.get(cache_key)
+        if rendered is None:
+            w = self._crop_window_px
+            raw = np.zeros(
+                (data_dict["states"].shape[0], 1, w * 2, w * 2, 3),
+                dtype=np.uint8,
+            )
+            self._render_env.render_traj_top_down_u8(
+                data_dict["states"][: end + 1],
+                data_dict["states"][end, :2],
+                raw[: end + 1, 0],
+            )
+            # resize to model resolution before caching (smaller cache; the
+            # base-class resize is then a no-op)
+            rendered = self.preprocess_images(raw)
+            if cache_key is not None:
+                self._render_cache[cache_key] = rendered
         data_dict["images"] = rendered
         return super().process_data_dict(data_dict)
 
