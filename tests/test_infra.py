@@ -223,3 +223,71 @@ class TestTopDownRenderFastPath:
         assert not calls, "cached render path must skip the renderer"
         np.testing.assert_array_equal(np.asarray(ex2.traj_seq),
                                       np.asarray(ex.traj_seq))
+
+
+class TestFirstPersonView:
+    """Egocentric raycast renderer (fpv.py) — the reference's miniworld
+    camera mode without OpenGL (multiroom3d_env.py:85-99)."""
+
+    def _renderer(self, sz=48):
+        from video_gcp_tpu.planning.infra.envs.fpv import FirstPersonRenderer
+
+        return FirstPersonRenderer(3, img_size=sz)
+
+    def test_render_shape_and_determinism(self):
+        r = self._renderer()
+        img1 = r.render((0.0, 0.0), 0.3)
+        img2 = r.render((0.0, 0.0), 0.3)
+        assert img1.shape == (48, 48, 3) and img1.dtype == np.uint8
+        np.testing.assert_array_equal(img1, img2)
+        assert img1.std() > 5  # walls/floor/ceiling actually drawn
+
+    def test_walls_grow_when_approaching(self):
+        """Perspective: walking toward the east wall makes the center
+        column's wall slice taller."""
+        r = self._renderer()
+
+        def center_wall_rows(x):
+            perp, _, _ = r.cast((x, 0.0), 0.0)
+            return perp[r.img_size // 2]
+
+        d_far, d_near = center_wall_rows(0.0), center_wall_rows(0.4)
+        assert d_near < d_far  # closer to the east boundary wall
+
+    def test_rays_hit_boundary_at_known_distance(self):
+        """Looking east from the center of the (centered) 3x3 maze, the
+        center ray must hit a wall at most at the boundary (0.5) and at
+        least at the first interior grid line (1/6)."""
+        r = self._renderer()
+        perp, _, _ = r.cast((0.0, 0.0), 0.0)
+        d = perp[r.img_size // 2]
+        assert 1 / 6 - 1e-6 <= d <= 0.5 + 1e-6
+
+    def test_goal_billboard_visible_and_occludable(self):
+        r = self._renderer()
+        base = r.render((0.0, 0.0), 0.0)
+        ahead = r.render((0.0, 0.0), 0.0, goal=(0.12, 0.0))
+        behind = r.render((0.0, 0.0), 0.0, goal=(-0.12, 0.0))
+        red = r.GOAL_COLOR * 255
+        def has_goal(img):
+            return (np.abs(img.astype(int) - red.astype(int)).sum(-1) < 30).any()
+        assert has_goal(ahead)
+        assert not has_goal(behind)
+        assert not has_goal(base)
+
+    def test_egocentric_env_obs(self):
+        from video_gcp_tpu.core.attrdict import AttrDict
+        from video_gcp_tpu.planning.infra.envs.multiroom2d import (
+            EgocentricMultiroom2dEnv,
+        )
+
+        np.random.seed(0)
+        env = EgocentricMultiroom2dEnv(
+            {"n_rooms": 9, "fpv_img_size": 32}, no_env=True)
+        obs, _ = env.reset()
+        assert obs.images.shape == (1, 32, 32, 3)
+        assert obs.images.dtype == np.uint8
+        obs2 = env.step(np.array([0.02, 0.0]))
+        assert obs2.images.shape == (1, 32, 32, 3)
+        # moving the agent changes the egocentric view
+        assert not np.array_equal(obs.images, obs2.images)

@@ -371,6 +371,29 @@ class Multiroom2dEnv(BaseEnv):
         return self._ncam
 
 
+class EgocentricMultiroom2dEnv(Multiroom2dEnv):
+    """First-person RGB observations — the reference's Multiroom3dEnv
+    camera mode (multiroom3d_env.py:85-99, gym-miniworld OpenGL) served by
+    the dependency-free raycaster in fpv.py. State/action/goal semantics
+    are identical to the base env; only `obs.images` changes."""
+
+    def __init__(self, hp, reset_state=None, no_env=False, crop_window=None):
+        super().__init__(hp, reset_state, no_env, crop_window)
+        from video_gcp_tpu.planning.infra.envs.fpv import FirstPersonRenderer
+
+        self._fpv = FirstPersonRenderer(
+            self._rooms_per_side, img_size=int(self._hp.fpv_img_size))
+
+    def _default_hparams(self):
+        hp = super()._default_hparams()
+        hp["fpv_img_size"] = 64
+        return hp
+
+    def _render_obs(self):
+        return self._fpv.render(self.current_pos[:2], self.current_pos[2],
+                                self.goal_pos)
+
+
 class TopdownMultiroom2dEnv(Multiroom2dEnv):
     """Image observations = cropped top-down render around the agent
     (TopdownMultiroom3dEnv, multiroom3d_env.py:230-246)."""
