@@ -71,3 +71,30 @@ class TestMultiDevice:
         x = jnp.zeros((16, 4))
         xs = jax.device_put(x, batch_sharding(mesh))
         assert len(xs.sharding.device_set) == 8
+
+    def test_param_shardings_rules(self):
+        """FSDP sharding rule: large divisible arrays shard their largest
+        divisible dim over 'model'; small/indivisible arrays replicate."""
+        import jax
+        import jax.numpy as jnp
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from video_gcp_tpu.parallel.mesh import make_mesh, param_shardings
+
+        mesh = make_mesh(8, ("data", "model"), (2, 4))
+        tree = {
+            "big": jnp.zeros((256, 512)),       # shards dim 1 (largest)
+            "small": jnp.zeros((8, 8)),          # below threshold
+            "odd": jnp.zeros((3, 33333)),        # no dim divisible by 4
+            "scalar": jnp.zeros(()),
+        }
+        shd = param_shardings(mesh, tree)
+        assert shd["big"].spec == jax.sharding.PartitionSpec(None, "model")
+        assert shd["small"].is_fully_replicated
+        assert shd["odd"].is_fully_replicated
+        assert shd["scalar"].is_fully_replicated
+
+        # a sharded device_put actually spreads bytes over the model axis
+        xs = jax.device_put(tree["big"], shd["big"])
+        assert len(xs.sharding.device_set) == 8  # 4 model shards x 2 data replicas

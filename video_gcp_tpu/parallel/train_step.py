@@ -55,8 +55,13 @@ def make_optimizer(optim: str = "radam", lr: float = 1e-3,
     return tx
 
 
-def make_train_step(model, mesh=None) -> Callable:
-    """Build the jitted train step; donates the state buffer."""
+def make_train_step(model, mesh=None, state=None) -> Callable:
+    """Build the jitted train step; donates the state buffer.
+
+    :param state: pass the concrete (or abstract) TrainState when the mesh
+        has a 'model' axis of size > 1 — its pytree drives the FSDP param
+        shardings; with a pure data mesh it is unused.
+    """
 
     def train_step(state: TrainState, batch: AttrDict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -99,16 +104,22 @@ def make_train_step(model, mesh=None) -> Callable:
                     metrics[k + "_layerwise"] = per_level_means(term.breakdown)
         return new_state, metrics
 
-    in_shardings = None
     if mesh is not None:
-        from video_gcp_tpu.parallel.mesh import batch_sharding, replicated
+        from video_gcp_tpu.parallel.mesh import (
+            batch_sharding, param_shardings, replicated,
+        )
 
         rep = replicated(mesh)
         data = batch_sharding(mesh)
+        state_shd = rep
+        if state is not None and mesh.shape.get("model", 1) > 1:
+            # dp x fsdp: parameters + optimizer moments sharded over the
+            # 'model' axis (see mesh.param_shardings), batch over 'data'
+            state_shd = param_shardings(mesh, state)
         train_step = jax.jit(
             train_step,
-            in_shardings=(rep, data, rep),
-            out_shardings=(rep, rep),
+            in_shardings=(state_shd, data, rep),
+            out_shardings=(state_shd, rep),
             donate_argnums=(0,),
         )
     else:

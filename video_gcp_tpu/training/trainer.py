@@ -132,12 +132,20 @@ class ModelTrainer:
             self.conf["gradient_clip"], self.conf["momentum"],
             self.conf["adam_beta"],
         )
-        # data mesh over as many devices as evenly divide the global batch
+        # data mesh over as many devices as evenly divide the global batch;
+        # GCP_FSDP=k adds a k-wide 'model' axis (dp x fsdp: params +
+        # optimizer moments sharded, see parallel.mesh.param_shardings)
         n_dev = len(jax.devices())
+        fsdp = int(os.environ.get("GCP_FSDP", "1"))
         bs = self.conf["batch_size"]
-        while n_dev > 1 and bs % n_dev != 0:
+        while n_dev > 1 and (bs % max(n_dev // fsdp, 1) != 0
+                             or n_dev % fsdp != 0):
             n_dev -= 1
-        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
+        if n_dev > 1 and fsdp > 1:
+            self.mesh = make_mesh(n_dev, ("data", "model"),
+                                  (n_dev // fsdp, fsdp))
+        else:
+            self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         self.rng = jax.random.PRNGKey(0 if args.deterministic else int(time.time()))
 
         sample_batch = next(iter(self.train_loader))
@@ -151,7 +159,8 @@ class ModelTrainer:
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
         print(f"model parameters: {n_params}")
 
-        self.train_step = make_train_step(self.model, self.mesh)
+        self.train_step = make_train_step(self.model, self.mesh,
+                                          state=self.state)
         self.val_step = make_val_step(self.model)
 
         # resume
