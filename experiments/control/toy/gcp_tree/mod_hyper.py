@@ -68,7 +68,7 @@ cem_params = AttrDict(
     n_ll_samples=3,
     cost_fcn=ImageLearnedCostEstimate,
     cost_config=AttrDict(
-        checkpt_path=GCP_EXP_DIR + '/toy_nav/gcp_tree',
+        checkpt_path=GCP_EXP_DIR + '/prediction/toy_nav/gcp_tree',
         input_dim=64,
         cost_params=AttrDict(nz_mid=64),
     ),

@@ -119,10 +119,15 @@ def load_config(conf_path: str) -> AttrDict:
         model_config.setdefault("dataset_class",
                                 data_conf.dataset_spec["dataset_class"])
 
-    exp_name = os.path.relpath(
-        os.path.abspath(conf_path),
-        os.path.join(os.path.abspath(conf_path), "..", ".."),
-    )
+    # exp_name is the config path relative to the experiments/ root
+    # (gcp_builder.py:137-139): control configs resolve trained checkpoints
+    # as GCP_EXP_DIR + '/prediction/<env>/<model>', so the 'prediction/'
+    # prefix must survive into the experiment directory layout
+    parts = os.path.abspath(conf_path).split(os.sep)
+    if "experiments" in parts:
+        exp_name = os.sep.join(parts[parts.index("experiments") + 1:])
+    else:
+        exp_name = os.sep.join(parts[-2:])
     return AttrDict(
         configuration=configuration,
         model_config=model_config,
