@@ -155,7 +155,9 @@ class Evaluator:
                 buf = AttrDict({key: [] for key in ms})
             for key in ms:
                 buf[key].append(np.asarray(ms[key]).T)  # -> [B, k]
-            bv = np.asarray(jax.device_get(bv))
+            # np.array (not asarray): device_get can hand back read-only
+            # views on the TPU path, and best_val is updated in place below
+            bv = np.array(jax.device_get(bv))
             if best_val is None:
                 best_val = bv
                 best_gen = np.array(jax.device_get(bg))
