@@ -147,7 +147,37 @@ def bench_train_step(batch_size: int = 16, levels: int = 7,
     return batch_size * seq_len / dt
 
 
+def _chip_peak_flops() -> float:
+    """Peak dense bf16 FLOPs/s for the local chip (TPU generations; defaults
+    to v5e's 197 TFLOPs/s when the device kind is unrecognized)."""
+    kind = jax.devices()[0].device_kind.lower()
+    for pat, peak in (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12),
+                      ("v4", 275e12), ("v3", 123e12)):
+        if pat in kind:
+            return peak
+    return 197e12
+
+
+def _rollout_flops(rollout, params, inputs, key):
+    """XLA's own FLOP count for one jitted rollout dispatch (auditable vs a
+    hand-derived analytic count; None if the backend doesn't report it)."""
+    try:
+        cost = jax.jit(rollout).lower(params, inputs, key).compile() \
+            .cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
 def main():
+    from video_gcp_tpu.core.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     batch_size = 32  # per chip (batch sweep: 32 saturates the v5e MXU)
     levels = 9  # 511 nodes -> >=500 predicted frames
     n_frames = 500
@@ -158,6 +188,10 @@ def main():
     n_iters = 20
     dt = _timed_scan(rollout_n, params, inputs, key, n_iters)
     frames_per_sec = batch_size * n_frames / dt
+
+    # MFU: XLA-reported FLOPs per rollout dispatch x dispatches/s / chip peak
+    flops = _rollout_flops(rollout, params, inputs, key)
+    mfu = round(flops / dt / _chip_peak_flops(), 4) if flops else None
 
     # secondary tracked metrics (BASELINE.md:26-28); same one-line contract
     secondary = {}
@@ -172,6 +206,7 @@ def main():
         "value": round(frames_per_sec, 1),
         "unit": "frames/s/chip",
         "vs_baseline": round(frames_per_sec / 5000.0, 3),
+        "mfu": mfu,
         "secondary": secondary,
     }))
 

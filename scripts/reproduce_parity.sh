@@ -23,11 +23,17 @@ N_TASKS=${2:-20}
 cd "$(dirname "$0")/.."
 
 # 1. expert demonstrations (PRM policy in the top-down multiroom maze).
-#    CPU-only; ~4 trajs/s/core.
-if [ ! -f "$GCP_DATA_DIR/nav_9rooms/traj_$((N_TRAJS - 1)).h5" ]; then
+#    CPU-only; ~4 trajs/s/core. Resumable: restarts at the first missing
+#    trajectory index instead of regenerating from 0.
+FIRST_MISSING=0
+while [ "$FIRST_MISSING" -lt "$N_TRAJS" ] \
+        && [ -f "$GCP_DATA_DIR/nav_9rooms/traj_${FIRST_MISSING}.h5" ]; do
+    FIRST_MISSING=$((FIRST_MISSING + 1))
+done
+if [ "$FIRST_MISSING" -lt "$N_TRAJS" ]; then
     JAX_PLATFORMS=cpu python -m video_gcp_tpu.planning.run \
         experiments/data_gen/nav_9rooms/mod_hyper.py \
-        --start_idx 0 --end_idx $((N_TRAJS - 1))
+        --start_idx "$FIRST_MISSING" --end_idx $((N_TRAJS - 1))
 fi
 printf 'dataset_spec = dict(max_seq_len=100, state_dim=2, n_actions=2)\n' \
     > "$GCP_DATA_DIR/nav_9rooms/dataset_spec.py"
@@ -51,9 +57,11 @@ python -m video_gcp_tpu.training.train \
 # 5. FVD / LPIPS over the dumped sequences (proxy embeddings unless
 #    GCP_I3D_CKPT / GCP_LPIPS_CKPT point at real weights)
 python -m video_gcp_tpu.evaluation.fvd \
-    "$GCP_EXP_DIR/prediction/9room/gcp_tree/metrics" || true
+    "$GCP_EXP_DIR/prediction/9room/gcp_tree/metrics" \
+    || echo "WARNING: FVD stage failed — FVD omitted from the report" >&2
 python -m video_gcp_tpu.evaluation.lpips \
-    "$GCP_EXP_DIR/prediction/9room/gcp_tree/metrics" || true
+    "$GCP_EXP_DIR/prediction/9room/gcp_tree/metrics" \
+    || echo "WARNING: LPIPS stage failed — LPIPS omitted from the report" >&2
 
 # 6. closed-loop control benchmark (hierarchical image CEM with the learned
 #    cost + inverse-model closed-loop execution) on the first N_TASKS tasks

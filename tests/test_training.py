@@ -49,6 +49,92 @@ class TestEndToEndTraining:
         assert np.isfinite(float(losses["total"]))
 
 
+NPZ_PATH = os.path.join(
+    REPO, "experiments/prediction/9room/gcp_tree/pretrained_ep74.npz")
+CONF_9ROOM = os.path.join(REPO, "experiments/prediction/9room/gcp_tree")
+
+
+class TestPretrainedNpz:
+    """Programmatic restore of the shipped flat-npz checkpoint
+    (PRETRAINED.md; format = flattened train state minus optimizer)."""
+
+    def test_npz_structure_matches_model(self, tmp_path, monkeypatch):
+        """load_pretrained_npz rebuilds exactly the current 9-room model's
+        param tree (catches conf/model drift vs the shipped artifact)."""
+        import jax
+        import jax.numpy as jnp
+
+        from video_gcp_tpu.core.attrdict import AttrDict
+        from video_gcp_tpu.models.hyperparameters import default_hparams
+        from video_gcp_tpu.training import checkpoint as ckpt
+        from video_gcp_tpu.training.config import load_config
+
+        data_dir = tmp_path / "nav_9rooms"
+        data_dir.mkdir()
+        (data_dir / "dataset_spec.py").write_text(
+            "dataset_spec = dict(max_seq_len=100, state_dim=2, n_actions=2)\n")
+        monkeypatch.setenv("GCP_DATA_DIR", str(tmp_path))
+
+        loaded = ckpt.load_pretrained_npz(NPZ_PATH)
+        assert "params" in loaded  # flax collection level
+
+        bundle = load_config(CONF_9ROOM)
+        hp = default_hparams()
+        mc = dict(bundle.model_config)
+        mc.setdefault("batch_size", 2)
+        known = {k: v for k, v in mc.items() if k in hp}
+        unknown = {k: v for k, v in mc.items() if k not in hp}
+        hp.override(known)
+        hp.overwrite(unknown)
+        hp["batch_size"] = 2
+        model = bundle.configuration["model"](hp=dict(hp))
+
+        b, t, sz = 2, hp["max_seq_len"], hp["img_sz"]
+        batch = AttrDict(
+            traj_seq=jnp.zeros((b, t, sz, sz, 3), jnp.float32),
+            pad_mask=jnp.ones((b, t), jnp.float32),
+            end_ind=jnp.full((b,), t - 1, jnp.int32),
+            start_ind=jnp.zeros((b,), jnp.int32),
+            I_0=jnp.zeros((b, sz, sz, 3), jnp.float32),
+            I_g=jnp.zeros((b, sz, sz, 3), jnp.float32),
+            traj_seq_states=jnp.zeros((b, t, 2), jnp.float32),
+            actions=jnp.zeros((b, t, 2), jnp.float32),
+        )
+        key = jax.random.PRNGKey(0)
+        template = jax.eval_shape(
+            lambda bt: model.init({"params": key, "sample": key}, bt,
+                                  "train", "posterior"), batch)
+        # tree_map raises on any structure mismatch; also pin shapes
+        def check(tpl, arr):
+            assert tuple(tpl.shape) == tuple(arr.shape), (tpl.shape, arr.shape)
+
+        jax.tree_util.tree_map(check, template, loaded)
+
+    @pytest.mark.skipif(
+        not os.path.isfile("/root/data/nav_9rooms/dataset_spec.py"),
+        reason="real 9-room dataset not present")
+    def test_restored_psnr_pinned(self, monkeypatch, tmp_path):
+        """--resume <npz> seeds trainer.state.params; one prior-sample val
+        batch lands within 1.5 dB of the committed single-sample PSNR (~12.5;
+        top-of-100 12.60) — measures the fp16 round-trip too."""
+        import jax
+
+        from video_gcp_tpu.training.trainer import ModelTrainer, parse_args
+
+        monkeypatch.setenv("GCP_DATA_DIR", "/root/data")
+        monkeypatch.setenv("GCP_EXP_DIR", str(tmp_path))
+        args = parse_args(["--path", CONF_9ROOM, "--resume", NPZ_PATH,
+                           "--deterministic", "1", "--train", "0"])
+        trainer = ModelTrainer(args)
+        assert trainer.start_epoch == 0  # params-only restore
+        batch = next(iter(trainer.val_loader))
+        acc = {"psnr": [], "ssim": [], "mse": []}
+        trainer._quick_image_metrics(batch, jax.random.PRNGKey(0), acc)
+        assert acc["psnr"], "no image metrics produced"
+        psnr_val = float(np.mean(acc["psnr"]))
+        assert 11.0 < psnr_val < 14.0, psnr_val
+
+
 class TestMultiDevice:
     def test_dryrun_8_devices(self):
         import jax

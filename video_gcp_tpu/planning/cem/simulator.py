@@ -27,6 +27,12 @@ class GCPSimulator:
         self._params = params
         self._append_latent = append_latent
         self._rng = jax.random.PRNGKey(0)
+        # shape bucket: candidate counts vary across CEM stages (per-layer
+        # sampling rates, final-layer samples, the single final rollout) —
+        # pad every batch to the largest count seen so ONE compiled graph
+        # serves the whole planning session (retracing the L-level tree
+        # forward costs minutes on a 1-core host)
+        self._pad_bucket = 1
 
         def _run(params, inputs, rng):
             return model.apply(
@@ -46,12 +52,16 @@ class GCPSimulator:
         )
 
     def rollout(self, state, goal_state, samples, rollout_len) -> AttrDict:
+        b = samples.shape[0]
+        self._pad_bucket = max(self._pad_bucket, b)
+        if b < self._pad_bucket:
+            samples = np.concatenate(
+                [samples, np.repeat(samples[-1:], self._pad_bucket - b, 0)], 0)
         inputs = self._prep_inputs(state, goal_state, samples, rollout_len)
         self._rng, rng = jax.random.split(self._rng)
         out = jax.device_get(self._run(self._params, inputs, rng))
 
         end_ind = np.maximum(np.asarray(out.end_ind), 1)
-        b = samples.shape[0]
 
         def cap(x, i):
             return np.asarray(x[i, : end_ind[i] + 1])

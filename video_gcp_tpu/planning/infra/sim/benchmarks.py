@@ -35,11 +35,21 @@ def run_trajectories(conf=None, iex=-1, gpu_id=None, ngpu=1):
     )
 
     while i_traj <= nruns:
-        agent_data = sim.take_sample(i_traj)
-        if agent_data is None:
-            i_traj += 1
-            continue
-        agent_data.pop("demo_images", None)
+        # per-task score files make the run stall-resilient: a crashed or
+        # killed benchmark resumes at the first task without a task_{i}.pkl,
+        # paying one task, not the whole range
+        task_file = os.path.join(log_dir, f"task_{i_traj}.pkl")
+        if os.path.isfile(task_file):
+            with open(task_file, "rb") as f:
+                agent_data = pickle.load(f)
+        else:
+            agent_data = sim.take_sample(i_traj)
+            if agent_data is None:
+                i_traj += 1
+                continue
+            agent_data.pop("demo_images", None)
+            with open(task_file, "wb") as f:
+                pickle.dump(agent_data, f)
         stat_arrays = OrderedDict()
         for key in agent_data.keys():
             stats_lists.setdefault(key, []).append(agent_data[key])

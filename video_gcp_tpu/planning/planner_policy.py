@@ -195,7 +195,8 @@ class ImageCEMPolicy(CEMPolicy):
 
     def _infer_action(self, current_img, target_latent):
         """Closed-loop: re-infer the action from the current image encoding to
-        the planned next latent (planner_policy.py:222-227)."""
+        the planned next latent (planner_policy.py:222-227). Jitted once and
+        cached — this runs at every environment step."""
         img = np.asarray(current_img, np.float32)
         if img.max() > 1.0:
             img = img / 255.0
@@ -203,18 +204,20 @@ class ImageCEMPolicy(CEMPolicy):
         if img.ndim == 3:
             img = img[None]
 
-        def run(params, img, target):
-            enc = self.planner.apply(
-                params, jnp.asarray(img),
-                method=lambda m, x: m.encoder(x)[0],
-            )
-            act = self.planner.apply(
-                params, enc, jnp.asarray(target)[None],
-                method=lambda m, a, b: m.inv_mdl(a, b),
-            )
-            return act
+        if not hasattr(self, "_infer_action_fn"):
+            def run(params, img, target):
+                enc = self.planner.apply(
+                    params, img, method=lambda m, x: m.encoder(x)[0],
+                )
+                return self.planner.apply(
+                    params, enc, target[None],
+                    method=lambda m, a, b: m.inv_mdl(a, b),
+                )
 
-        return np.asarray(run(self.params, img, target_latent))[0]
+            self._infer_action_fn = jax.jit(run)
+
+        return np.asarray(self._infer_action_fn(
+            self.params, jnp.asarray(img), jnp.asarray(target_latent)))[0]
 
     @property
     def simulator_type(self):

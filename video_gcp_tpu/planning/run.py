@@ -56,6 +56,11 @@ class ControlManager:
         self.args = parser.parse_args(args)
 
     def run(self):
+        from video_gcp_tpu.core.compile_cache import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
         args = self.args
         conf = load_control_config(os.path.abspath(args.experiment))
 

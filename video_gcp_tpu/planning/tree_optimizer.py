@@ -129,8 +129,18 @@ class HierarchicalTreeLatentOptimizer:
         else:
             goal_lat = np.stack([l[-1] for l in latents])
 
+        # Dummy (unsplittable) candidates carry inf boundary rows; score them
+        # as inf directly instead of feeding inf into the cost net, where
+        # inf-inf arithmetic would raise warnings and mask real NaNs.
+        bad = ~(np.isfinite(start_lat).all(-1)
+                & np.isfinite(mid_lat).all(-1)
+                & np.isfinite(goal_lat).all(-1))
+        start_lat, mid_lat, goal_lat = (
+            np.nan_to_num(x, posinf=0.0, neginf=0.0)
+            for x in (start_lat, mid_lat, goal_lat))
         cost = (self._subgoal_cost_fcn(start_lat, mid_lat)
                 + self._subgoal_cost_fcn(mid_lat, goal_lat))
+        cost = np.where(bad, np.inf, cost)
         best = int(np.argmin(cost))
 
         self._frozen_z[node] = self._latest[best, node]
@@ -156,7 +166,16 @@ class HierarchicalTreeLatentOptimizer:
 
     def _best_segment(self, rollouts, goal):
         inputs, seg_goal = self._segment_cost_inputs(rollouts, goal)
-        cost = self._ll_cost_fcn(inputs, seg_goal)
+        bad = np.array([not np.isfinite(np.asarray(x)).all() for x in inputs])
+        inputs = [np.nan_to_num(np.asarray(x), posinf=0.0, neginf=0.0)
+                  for x in inputs]
+        if isinstance(seg_goal, list):
+            seg_goal = [np.nan_to_num(np.asarray(g), posinf=0.0, neginf=0.0)
+                        for g in seg_goal]
+        else:
+            seg_goal = np.nan_to_num(np.asarray(seg_goal), posinf=0.0,
+                                     neginf=0.0)
+        cost = np.where(bad, np.inf, self._ll_cost_fcn(inputs, seg_goal))
         best = int(np.argmin(cost))
         return self._split(rollouts)[0][best], cost[best], best
 

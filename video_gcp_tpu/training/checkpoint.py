@@ -48,6 +48,9 @@ def resolve_resume(resume, exp_path: str) -> Optional[str]:
         return None
     if isinstance(resume, str) and os.path.isdir(resume):
         return resume
+    if (isinstance(resume, str) and resume.endswith(".npz")
+            and os.path.isfile(resume)):
+        return resume
     eps = get_epochs(exp_path)
     if not eps:
         return None
@@ -88,6 +91,38 @@ def load_params(path: str) -> Any:
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path))
     return restored["params"]
+
+
+def load_pretrained_npz(path: str) -> Any:
+    """Rebuild model params from a flat `np.savez` checkpoint (the shipped
+    pretrained_ep74.npz format, PRETRAINED.md).
+
+    Keys are '/'-joined paths of the flattened train state minus the
+    optimizer: 'params/params/<module>/.../kernel' — the first 'params' is
+    the TrainState field, the second the flax collection — plus a scalar
+    'step'. float16-stored leaves are cast back to float32. Returns the
+    value of the top-level 'params' entry, i.e. `{'params': {<module>:
+    ...}}`, which seeds `trainer.state.params` / `model.apply` directly.
+    """
+    import numpy as np
+
+    z = np.load(path)
+    tree: dict = {}
+    for key in z.files:
+        if key == "step":
+            continue
+        parts = key.split("/")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        leaf = z[key]
+        if leaf.dtype == np.float16:
+            leaf = leaf.astype(np.float32)
+        node[parts[-1]] = leaf
+    if "params" not in tree:
+        raise ValueError(
+            f"{path}: no 'params/...' keys — not a pretrained-npz checkpoint")
+    return tree["params"]
 
 
 def extract_subtree(params: Any, scope: str) -> Any:

@@ -80,6 +80,11 @@ def parse_args(argv=None):
 
 class ModelTrainer:
     def __init__(self, args):
+        from video_gcp_tpu.core.compile_cache import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
         self.args = args
         # multi-host: join the jax.distributed mesh when launched as one
         # process of a multi-host job (SURVEY.md §2.14 TPU-native mapping)
@@ -168,12 +173,20 @@ class ModelTrainer:
         path = ckpt.resolve_resume(args.resume, self.exp_path)
         if path is not None:
             print(f"resuming from {path}")
-            self.state = ckpt.load_checkpoint(path, self.state)
-            import re
+            if path.endswith(".npz"):
+                # pretrained flat-npz restore: params only, optimizer fresh
+                loaded = ckpt.load_pretrained_npz(path)
+                self.state = self.state.replace(
+                    params=jax.tree_util.tree_map(
+                        lambda tpl, arr: jax.numpy.asarray(arr, tpl.dtype),
+                        self.state.params, loaded))
+            else:
+                self.state = ckpt.load_checkpoint(path, self.state)
+                import re
 
-            m = re.search(r"weights_ep(\d+)", path)
-            if m:
-                self.start_epoch = int(m.group(1)) + 1
+                m = re.search(r"weights_ep(\d+)", path)
+                if m:
+                    self.start_epoch = int(m.group(1)) + 1
 
     # ------------------------------------------------------------------
 
