@@ -145,6 +145,19 @@ class TestMultiDevice:
 
         g.dryrun_multichip(8)
 
+    @pytest.mark.skipif(os.environ.get("GCP_RUN_SLOW") != "1",
+                        reason="flagship-scale FSDP dryrun (GCP_RUN_SLOW=1)")
+    def test_flagship_fsdp_dryrun(self):
+        """25-room flagship shapes (L=8 untied, split_linear 512x3 LSTM)
+        through one dp x fsdp sharded step on the virtual mesh."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import __graft_entry__ as g
+
+        g.dryrun_flagship_fsdp(8)
+
     def test_batch_sharding_spreads_data(self):
         import jax
         import jax.numpy as jnp

@@ -118,7 +118,14 @@ def load_state_dict(path: str) -> dict:
     `pickle.UnpicklingError` on legacy (non-zip) files or pickles that
     reference anything beyond plain tensors/state dicts.
     """
-    with zipfile.ZipFile(path) as zf:
+    try:
+        zf_ctx = zipfile.ZipFile(path)
+    except zipfile.BadZipFile:
+        raise pickle.UnpicklingError(
+            f"{path}: not a torch zip checkpoint; legacy tar-format .pth "
+            "files are not supported"
+        ) from None
+    with zf_ctx as zf:
         pkl_names = [n for n in zf.namelist() if n.endswith("/data.pkl")]
         if not pkl_names:
             raise pickle.UnpicklingError(

@@ -75,6 +75,8 @@ def parse_args(argv=None):
     p.add_argument("--verbose_timing", default=0, type=int)
     p.add_argument("--val_metric_batches", default=4, type=int,
                    help="val batches used for the quick PSNR/SSIM/MSE stand-in")
+    p.add_argument("--num_epochs", default=0, type=int,
+                   help="override configuration['num_epochs'] when > 0")
     return p.parse_args(argv)
 
 
@@ -242,6 +244,8 @@ class ModelTrainer:
 
     def run(self):
         args = self.args
+        if args.num_epochs > 0:
+            self.conf["num_epochs"] = args.num_epochs
         if args.val_sweep:
             for epoch in ckpt.get_epochs(self.exp_path):
                 path = os.path.join(ckpt.weights_dir(self.exp_path),
