@@ -33,6 +33,9 @@ agent = AttrDict(
 policy = AttrDict(
     type=PrmPolicy,
     max_traj_length=agent.T,
+    # doubled plan density: mean path length ~420 steps (vs ~210 at 1.0),
+    # pushing real mass toward the 500-frame cap
+    subsample_factor=0.5,
 )
 
 config = AttrDict(

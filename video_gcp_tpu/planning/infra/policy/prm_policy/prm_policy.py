@@ -220,7 +220,10 @@ class PrmPolicy(Policy):
                 self._fallback_plan()
             return
 
-        n_steps = int(length * STEPS_PER_UNIT_LENGTH)
+        # subsample_factor thins (>1) or densifies (<1) the executed plan
+        # (ref prm_policy.py:175 divides the discretization by it)
+        n_steps = int(length * STEPS_PER_UNIT_LENGTH
+                      / self._hp.subsample_factor)
         if self._hp.max_traj_length is not None:
             n_steps = min(n_steps, self._hp.max_traj_length - t)
         states = smooth_plan(*path_xy, max(n_steps, 2))

@@ -34,12 +34,14 @@ def run_trajectories(conf=None, iex=-1, gpu_id=None, ngpu=1):
         log_dir, f"scores_{conf['start_index']}to{conf['end_index']}.pkl"
     )
 
+    # Per-task score files make benchmark runs stall-resilient: a crashed or
+    # killed run resumes at the first task without a task_{i}.pkl, paying one
+    # task, not the whole range. Benchmark-only: for data generation the h5
+    # trajectory is the product, so skipping take_sample would skip saving it.
+    benchmark = isinstance(sim.agent, BenchmarkAgent)
     while i_traj <= nruns:
-        # per-task score files make the run stall-resilient: a crashed or
-        # killed benchmark resumes at the first task without a task_{i}.pkl,
-        # paying one task, not the whole range
         task_file = os.path.join(log_dir, f"task_{i_traj}.pkl")
-        if os.path.isfile(task_file):
+        if benchmark and os.path.isfile(task_file):
             with open(task_file, "rb") as f:
                 agent_data = pickle.load(f)
         else:
@@ -48,8 +50,9 @@ def run_trajectories(conf=None, iex=-1, gpu_id=None, ngpu=1):
                 i_traj += 1
                 continue
             agent_data.pop("demo_images", None)
-            with open(task_file, "wb") as f:
-                pickle.dump(agent_data, f)
+            if benchmark:
+                with open(task_file, "wb") as f:
+                    pickle.dump(agent_data, f)
         stat_arrays = OrderedDict()
         for key in agent_data.keys():
             stats_lists.setdefault(key, []).append(agent_data[key])
