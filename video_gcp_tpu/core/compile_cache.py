@@ -25,7 +25,9 @@ def enable_persistent_compile_cache(path: str | None = None) -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # 0.0: cache even tiny graphs — through the remote-TPU tunnel every
+        # avoided compile saves a multi-second roundtrip
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
         _enabled = True
     except Exception:

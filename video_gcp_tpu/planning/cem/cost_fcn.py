@@ -165,17 +165,39 @@ class LearnedCostEstimate:
 
     def __call__(self, start_enc, goal_enc):
         if isinstance(start_enc, np.ndarray):
-            return np.asarray(self.net(start_enc, goal_enc))[..., 0]
+            return self._net_bucketed(start_enc, goal_enc)[..., 0]
         if isinstance(start_enc, list):
-            costs = []
+            # One fused, shape-bucketed net call for ALL sequences' step
+            # pairs. The hierarchical optimizer scores segments of every
+            # length; per-sequence calls would retrace/redispatch the jitted
+            # cost net once per distinct length (minutes of compile churn on
+            # the planning critical path).
+            pairs_a, pairs_b, sizes = [], [], []
             for seq, goal in zip(start_enc, goal_enc):
                 seq_input = np.concatenate([seq, goal], 0)
-                per_step = np.asarray(
-                    self.net(seq_input[:-1], seq_input[1:])
-                )
-                costs.append(per_step.sum())
-            return np.array(costs)
+                pairs_a.append(seq_input[:-1])
+                pairs_b.append(seq_input[1:])
+                sizes.append(seq_input.shape[0] - 1)
+            per_step = self._net_bucketed(
+                np.concatenate(pairs_a), np.concatenate(pairs_b))[..., 0]
+            bounds = np.cumsum([0] + sizes)
+            return np.array([per_step[a:b].sum()
+                             for a, b in zip(bounds[:-1], bounds[1:])])
         raise ValueError("unsupported input type for learned cost")
+
+    def _net_bucketed(self, a, b):
+        """Evaluate the cost net with the leading dim padded to a power-of-2
+        bucket: O(log n) distinct compiled shapes over a whole benchmark."""
+        a = np.asarray(a)
+        b = np.asarray(b)
+        n = a.shape[0]
+        bucket = max(16, 1 << (n - 1).bit_length())
+        if bucket > n:
+            a = np.concatenate(
+                [a, np.zeros((bucket - n,) + a.shape[1:], a.dtype)])
+            b = np.concatenate(
+                [b, np.zeros((bucket - n,) + b.shape[1:], b.dtype)])
+        return np.asarray(self.net(a, b))[:n]
 
     @property
     def input_dim(self):
