@@ -128,7 +128,7 @@ def make_test_time_cost_fn(checkpt_path, load_epoch="latest",
     if path is None:
         raise ValueError(f"no checkpoint under {checkpt_path}")
     params = ckpt_lib.load_params(path)
-    sub = ckpt_lib.extract_subtree(params, "cost_mdl")
+    sub = jax.device_put(ckpt_lib.extract_subtree(params, "cost_mdl"))
     p = dict(nz_mid=128, n_processing_layers=3)
     if cost_params:
         p.update(cost_params)

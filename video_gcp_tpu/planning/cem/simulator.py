@@ -24,7 +24,10 @@ class GCPSimulator:
 
     def __init__(self, model, params, append_latent: bool):
         self._model = model
-        self._params = params
+        # params arrive as host numpy from the checkpoint reader; pin them on
+        # device ONCE — otherwise every jitted call re-uploads the full tree
+        # (tens of MB through the remote-TPU tunnel, minutes per rollout)
+        self._params = jax.device_put(params)
         self._append_latent = append_latent
         self._rng = jax.random.PRNGKey(0)
         # shape bucket: candidate counts vary across CEM stages (per-layer
@@ -35,9 +38,22 @@ class GCPSimulator:
         self._pad_bucket = 1
 
         def _run(params, inputs, rng):
-            return model.apply(
+            out = model.apply(
                 params, inputs, "plan", "prior", True, rngs={"sample": rng}
             )
+            # return ONLY the planner-facing outputs: XLA dead-code-eliminates
+            # the untouched tree internals, and device_get moves megabytes,
+            # not the full output tree, through the (slow-fetch) tunnel
+            keep = AttrDict(
+                end_ind=out.end_ind,
+                timeline_images=out.timeline_images,
+                timeline_latents=out.timeline_latents,
+            )
+            if "actions" in out:
+                keep.actions = out.actions
+            if "regressed_state" in out:
+                keep.regressed_state = out.regressed_state
+            return keep
 
         self._run = jax.jit(_run)
 
@@ -52,6 +68,9 @@ class GCPSimulator:
         )
 
     def rollout(self, state, goal_state, samples, rollout_len) -> AttrDict:
+        from video_gcp_tpu.planning.infra.sim.benchmarks import heartbeat
+
+        heartbeat()
         b = samples.shape[0]
         self._pad_bucket = max(self._pad_bucket, b)
         if b < self._pad_bucket:

@@ -12,6 +12,18 @@ from collections import OrderedDict
 
 import numpy as np
 
+
+def heartbeat() -> None:
+    """Touch $GCP_HEARTBEAT so an external watchdog (scripts/run_resilient.sh)
+    can distinguish slow progress from a hung tunnel session."""
+    path = os.environ.get("GCP_HEARTBEAT")
+    if path:
+        try:
+            with open(path, "a"):
+                os.utime(path, None)
+        except OSError:
+            pass
+
 from video_gcp_tpu.planning.infra.agent.general_agent import BenchmarkAgent
 from video_gcp_tpu.planning.infra.sim.simulator import Sim
 
@@ -40,6 +52,7 @@ def run_trajectories(conf=None, iex=-1, gpu_id=None, ngpu=1):
     # trajectory is the product, so skipping take_sample would skip saving it.
     benchmark = isinstance(sim.agent, BenchmarkAgent)
     while i_traj <= nruns:
+        heartbeat()
         task_file = os.path.join(log_dir, f"task_{i_traj}.pkl")
         if benchmark and os.path.isfile(task_file):
             with open(task_file, "rb") as f:

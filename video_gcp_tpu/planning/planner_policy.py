@@ -44,7 +44,9 @@ class PlannerPolicy(Policy):
         hp.overwrite(params)
         self.planner_hp = hp
         self.planner = model_cls(hp=dict(hp))
-        self.params = self._restore_params()
+        # device-resident once: numpy params would re-upload the whole tree
+        # on every jitted call (incl. _infer_action at each env step)
+        self.params = jax.device_put(self._restore_params())
 
         self.current_exec_step = None
         self.image_plan = None
@@ -204,6 +206,9 @@ class ImageCEMPolicy(CEMPolicy):
         if img.ndim == 3:
             img = img[None]
 
+        from video_gcp_tpu.planning.infra.sim.benchmarks import heartbeat
+
+        heartbeat()
         if not hasattr(self, "_infer_action_fn"):
             def run(params, img, target):
                 enc = self.planner.apply(

@@ -61,6 +61,15 @@ class ControlManager:
         )
 
         enable_persistent_compile_cache()
+        # stall diagnosis: GCP_STACK_DUMP=<file> dumps all-thread stacks
+        # every 60s — the tool for "the tunnel/compile is silent, where is
+        # the worker stuck?" (SURVEY §5.2: the rebuild's sanitizer surface)
+        dump_path = os.environ.get("GCP_STACK_DUMP")
+        if dump_path:
+            import faulthandler
+
+            faulthandler.dump_traceback_later(
+                60, repeat=True, file=open(dump_path, "w"))
         args = self.args
         conf = load_control_config(os.path.abspath(args.experiment))
 

@@ -146,11 +146,11 @@ def download_data(dataset_name: str) -> None:
         sawyer="https://www.seas.upenn.edu/~oleh/datasets/gcp/sawyer.zip",
         h36m="https://www.seas.upenn.edu/~oleh/datasets/gcp/h36m.zip",
     )
-    if dataset_name not in urls:
-        raise ValueError(f"Dataset identifier {dataset_name} is not known!")
     path = get_dataset_path(dataset_name)
     if os.path.exists(path):
-        return
+        return  # local (incl. self-generated) datasets need no download
+    if dataset_name not in urls:
+        raise ValueError(f"Dataset identifier {dataset_name} is not known!")
     import urllib.request
     import zipfile
     import tempfile
