@@ -32,7 +32,7 @@ from video_gcp_tpu.core.distributions import normalize
 from video_gcp_tpu.core.losses import bce_logits_loss, penalty_loss
 from video_gcp_tpu.models.nets import MLP
 from video_gcp_tpu.ops.cdist import batch_cdist
-from video_gcp_tpu.ops.soft_dtw import soft_dtw
+from video_gcp_tpu.ops.soft_dtw import soft_dtw, soft_dtw_stability_gap
 from video_gcp_tpu.ops.tree_index import (
     balanced_timesteps,
     breadthfirst2depthfirst,
@@ -217,6 +217,13 @@ class AdaptiveBinding(nn.Module):
         cost = self._hack_weights_df(cost)
         temp = self.matching_temp(step)
         w = soft_dtw(jax.lax.stop_gradient(cost) / temp, inputs.end_ind)
+        # runtime stability diagnostic (probabilistic_dtw.py:118-120): raw
+        # forward-backward marginals should sum to ~1 over frames per node;
+        # drift measures f32 DP degradation over a long run. Logged as a
+        # weight-0 loss term by the tree model.
+        outputs.soft_dtw_stability_gap = soft_dtw_stability_gap(
+            w, inputs.end_ind
+        )
         w = normalize(w, 1)
         return depthfirst2breadthfirst(w)
 

@@ -24,7 +24,9 @@ import jax.numpy as jnp
 
 from video_gcp_tpu.core.attrdict import AttrDict
 from video_gcp_tpu.core.distributions import Gaussian, safe_entropy
-from video_gcp_tpu.core.losses import kl_divergence_loss, penalty_loss
+from video_gcp_tpu.core.losses import (
+    LossTerm, kl_divergence_loss, penalty_loss,
+)
 from video_gcp_tpu.models.base import BaseGCPModel
 from video_gcp_tpu.models.binding import AdaptiveBinding, BalancedBinding
 from video_gcp_tpu.models.inference import AttentiveInference, MatchedInference
@@ -336,4 +338,11 @@ class TreeModel(BaseGCPModel):
         )
         losses.entropy = penalty_loss(outputs.entropy,
                                       weight=hp["entropy_weight"])
+        if outputs.get("soft_dtw_stability_gap") is not None:
+            # weight-0 (log-only) runtime diagnostic: f32 forward-backward
+            # marginal drift of the adaptive matcher (probabilistic_dtw.py:
+            # 118-120 runs the same check as a hard assert in f64)
+            losses.soft_dtw_stability_gap = LossTerm(
+                value=outputs.soft_dtw_stability_gap, weight=0.0
+            )
         return losses
