@@ -197,3 +197,34 @@ class TestMultiDevice:
         # a sharded device_put actually spreads bytes over the model axis
         xs = jax.device_put(tree["big"], shd["big"])
         assert len(xs.sharding.device_set) == 8  # 4 model shards x 2 data replicas
+
+
+class TestDownloadData:
+    def test_file_url_roundtrip(self, tmp_path, monkeypatch):
+        """download_data fetches + unzips an archive on first use
+        (utils.py:79-93); exercised against a local file:// fixture."""
+        import io
+        import zipfile
+
+        from video_gcp_tpu.training import config as cfg
+
+        archive = tmp_path / "nav_test.zip"
+        with zipfile.ZipFile(archive, "w") as z:
+            z.writestr("nav_test/traj_0.h5", b"h5-bytes")
+            z.writestr("nav_test/dataset_spec.py",
+                       "dataset_spec = dict(max_seq_len=4)\n")
+        data_dir = tmp_path / "data"
+        monkeypatch.setenv("GCP_DATA_DIR", str(data_dir))
+        monkeypatch.setitem(cfg.DATASET_URLS, "nav_test",
+                            archive.as_uri())
+        cfg.download_data("nav_test")
+        assert (data_dir / "nav_test" / "traj_0.h5").read_bytes() == b"h5-bytes"
+        # second call is a no-op (dataset dir exists)
+        cfg.download_data("nav_test")
+
+    def test_unknown_dataset_raises(self, tmp_path, monkeypatch):
+        from video_gcp_tpu.training import config as cfg
+
+        monkeypatch.setenv("GCP_DATA_DIR", str(tmp_path / "d"))
+        with pytest.raises(ValueError, match="not known"):
+            cfg.download_data("no_such_dataset")

@@ -137,15 +137,20 @@ def load_config(conf_path: str) -> AttrDict:
     )
 
 
+# published dataset archives (utils.py:79-93, URLs README.md:129-136);
+# module-level so tests can point an entry at a local file:// fixture
+DATASET_URLS = dict(
+    nav_9rooms="https://www.seas.upenn.edu/~oleh/datasets/gcp/nav_9rooms.zip",
+    nav_25rooms="https://www.seas.upenn.edu/~oleh/datasets/gcp/nav_25rooms.zip",
+    sawyer="https://www.seas.upenn.edu/~oleh/datasets/gcp/sawyer.zip",
+    h36m="https://www.seas.upenn.edu/~oleh/datasets/gcp/h36m.zip",
+)
+
+
 def download_data(dataset_name: str) -> None:
-    """Auto-download of published datasets (utils.py:79-93). Gated: raises a
-    clear error in zero-egress environments instead of hanging."""
-    urls = dict(
-        nav_9rooms="https://www.seas.upenn.edu/~oleh/datasets/gcp/nav_9rooms.zip",
-        nav_25rooms="https://www.seas.upenn.edu/~oleh/datasets/gcp/nav_25rooms.zip",
-        sawyer="https://www.seas.upenn.edu/~oleh/datasets/gcp/sawyer.zip",
-        h36m="https://www.seas.upenn.edu/~oleh/datasets/gcp/h36m.zip",
-    )
+    """Auto-download + unzip of published datasets on first use
+    (utils.py:79-93)."""
+    urls = DATASET_URLS
     path = get_dataset_path(dataset_name)
     if os.path.exists(path):
         return  # local (incl. self-generated) datasets need no download
