@@ -74,7 +74,11 @@ def parse_args(argv=None):
     p.add_argument("--debug", default=0, type=int)
     p.add_argument("--verbose_timing", default=0, type=int)
     p.add_argument("--val_metric_batches", default=4, type=int,
-                   help="val batches used for the quick PSNR/SSIM/MSE stand-in")
+                   help="val batches for the quick per-epoch PSNR/SSIM/MSE "
+                        "stand-in (single prior sample; covers the whole val "
+                        "split when it has fewer batches). The per-epoch curve "
+                        "is inherently noisy on small splits — the reported "
+                        "protocol is the full top-of-100 eval (--metric 1)")
     p.add_argument("--num_epochs", default=0, type=int,
                    help="override configuration['num_epochs'] when > 0")
     return p.parse_args(argv)
