@@ -228,3 +228,76 @@ class TestDownloadData:
         monkeypatch.setenv("GCP_DATA_DIR", str(tmp_path / "d"))
         with pytest.raises(ValueError, match="not known"):
             cfg.download_data("no_such_dataset")
+
+
+class TestDatasetValSweep:
+    """--dataset_val_sweep across datasets with different horizons
+    (reference train.py:71-99 run_dataset_val_sweep). Regression: the
+    round-3 hardware sweep validated zero batches (val split smaller than
+    one batch + drop_last) and crashed on the horizon-sized length-predictor
+    head before the shape-filtered restore existed."""
+
+    @staticmethod
+    def _make_ds(root, name, t, n_trajs=10):
+        import h5py
+
+        d = root / name
+        d.mkdir(parents=True)
+        # val split (4 examples) deliberately smaller than the batch size
+        # (5): the sweep must keep the short batch, not drop it
+        (d / "dataset_spec.py").write_text(
+            f"dataset_spec = dict(max_seq_len={t}, state_dim=2, n_actions=2,"
+            f" split=dict(train=0.6, val=0.4, test=0.0))\n"
+        )
+        rng = np.random.RandomState(0)
+        for i in range(n_trajs):
+            with h5py.File(d / f"traj_{i}.h5", "w") as f:
+                f.create_dataset("traj_per_file", data=1)
+                f.create_dataset(
+                    "traj0/images",
+                    data=rng.randint(0, 255, (t, 1, 16, 16, 3), np.uint8),
+                )
+                f.create_dataset("traj0/states",
+                                 data=rng.rand(t, 2).astype(np.float32))
+                f.create_dataset("traj0/actions",
+                                 data=rng.rand(t - 1, 2).astype(np.float32))
+                f.create_dataset("traj0/pad_mask", data=np.ones(t))
+
+    def test_cross_horizon_sweep(self, tmp_path, monkeypatch, capsys):
+        from video_gcp_tpu.training.trainer import ModelTrainer, parse_args
+
+        data_root = tmp_path / "data"
+        self._make_ds(data_root, "sweep_a", 16)
+        self._make_ds(data_root, "sweep_b", 8)
+        monkeypatch.setenv("GCP_DATA_DIR", str(data_root))
+        monkeypatch.setenv("GCP_EXP_DIR", str(tmp_path / "exp"))
+
+        conf_dir = tmp_path / "conf"
+        conf_dir.mkdir()
+        (conf_dir / "conf.py").write_text(
+            "from video_gcp_tpu.core.attrdict import AttrDict\n"
+            "from experiments.prediction.base_configs import gcp_tree as b\n"
+            "configuration = AttrDict(b.configuration)\n"
+            "configuration.update(dict(\n"
+            "    dataset_name='sweep_a', batch_size=5, lr=1e-3,\n"
+            "    dataset_sweep_specs=[\n"
+            "        dict(dataset_name='sweep_a', max_seq_len=16),\n"
+            "        dict(dataset_name='sweep_b', max_seq_len=8),\n"
+            "    ],\n"
+            "))\n"
+            "model_config = AttrDict(b.model_config)\n"
+            "model_config.update(dict(hierarchy_levels=4, img_sz=16, ngf=8,\n"
+            "    nz_mid_lstm=48, nz_vae=8, regress_length=True))\n"
+            "model_config.pop('add_weighted_pixel_copy')\n"
+        )
+        args = parse_args(["--path", str(conf_dir), "--resume", "none"])
+        trainer = ModelTrainer(args)
+        trainer.run_dataset_val_sweep()
+        out = capsys.readouterr().out
+        # both specs validated with a real short (4 < batch 5) val batch
+        assert "[dataset sweep] sweep_a (T=16, L=4)" in out
+        assert "[dataset sweep] sweep_b (T=8, L=3)" in out
+        assert out.count("nll") >= 2, out
+        # horizon-dependent length-predictor head stays fresh at T=8 only
+        assert out.count("kept fresh") == 1, out
+        assert "length_pred" in out

@@ -20,7 +20,11 @@ from multiprocessing import Pool
 
 import numpy as np
 
-from video_gcp_tpu.planning.infra.sim.benchmarks import run_trajectories
+from video_gcp_tpu.core.platform import apply_platform_env
+
+apply_platform_env()
+
+from video_gcp_tpu.planning.infra.sim.benchmarks import run_trajectories  # noqa: E402
 
 
 def bench_worker(conf, iex=-1, ngpu=1):

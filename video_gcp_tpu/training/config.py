@@ -65,6 +65,33 @@ def load_module_from_path(path: str, name: str = "conf"):
     return mod
 
 
+def build_data_conf(dataset_name: str, override=None) -> AttrDict:
+    """Per-dataset data_conf: the dataset directory's dataset_spec.py merged
+    with overrides (gcp_builder.py:158-170). `override` defaults to the
+    dataset's bundled config module (video_gcp_tpu.data.configs.<name>),
+    which supplies the dataset_class (e.g. the maze top-down re-renderer) and
+    render parameters — required when loading a dataset other than the
+    experiment's own, as `--dataset_val_sweep` does."""
+    data_conf = AttrDict(dataset_spec=AttrDict())
+    spec_path = os.path.join(get_dataset_path(dataset_name), "dataset_spec.py")
+    if os.path.isfile(spec_path):
+        spec_mod = load_module_from_path(spec_path, "dataset_spec")
+        data_conf.dataset_spec = AttrDict(spec_mod.dataset_spec)
+    if override is None:
+        try:
+            override = importlib.import_module(
+                "video_gcp_tpu.data.configs." + dataset_name
+            ).config
+        except ImportError:
+            override = {}
+    for key in override:
+        if key == "dataset_spec":
+            data_conf.dataset_spec.update(override["dataset_spec"])
+        else:
+            data_conf[key] = override[key]
+    return data_conf
+
+
 def load_config(conf_path: str) -> AttrDict:
     """Load conf.py + dataset config + dataset_spec into one bundle.
 
@@ -80,34 +107,19 @@ def load_config(conf_path: str) -> AttrDict:
     configuration.overwrite(conf_module.configuration)
     model_config = AttrDict(conf_module.model_config)
 
-    data_conf = AttrDict(dataset_spec=AttrDict())
     dataset_name = configuration.get("dataset_name", None)
     if dataset_name is not None:
-        spec_path = os.path.join(get_dataset_path(dataset_name), "dataset_spec.py")
-        if os.path.isfile(spec_path):
-            spec_mod = load_module_from_path(spec_path, "dataset_spec")
-            data_conf.dataset_spec = AttrDict(spec_mod.dataset_spec)
-        # dataset config module overrides (gcp_builder.py:158-170)
+        override = (conf_module.data_config
+                    if hasattr(conf_module, "data_config") else None)
+        data_conf = build_data_conf(dataset_name, override)
+    else:
+        data_conf = AttrDict(dataset_spec=AttrDict())
         if hasattr(conf_module, "data_config"):
-            update = conf_module.data_config
-        else:
-            try:
-                update = importlib.import_module(
-                    "video_gcp_tpu.data.configs." + dataset_name
-                ).config
-            except ImportError:
-                update = {}
-        for key in update:
-            if key == "dataset_spec":
-                data_conf.dataset_spec.update(update["dataset_spec"])
-            else:
-                data_conf[key] = update[key]
-    elif hasattr(conf_module, "data_config"):
-        for key, val in conf_module.data_config.items():
-            if key == "dataset_spec":
-                data_conf.dataset_spec.update(val)
-            else:
-                data_conf[key] = val
+            for key, val in conf_module.data_config.items():
+                if key == "dataset_spec":
+                    data_conf.dataset_spec.update(val)
+                else:
+                    data_conf[key] = val
     if "fps" not in data_conf:
         data_conf.fps = 4
 

@@ -293,23 +293,70 @@ class ModelTrainer:
                     math.ceil(math.log2(spec["max_seq_len"]))
                 )
             model = base_model_cls(hp=hp)
-            data_conf = AttrDict(self.data_conf)
-            data_conf.dataset_spec = AttrDict(data_conf.dataset_spec)
+            # the swept dataset's OWN config (dataset_class, render params),
+            # not the current experiment's — a sweep across datasets must use
+            # each dataset's reader (e.g. nav_9rooms stores 128x128 frames
+            # that its maze top-down class re-renders at the model's res)
+            from video_gcp_tpu.training.config import build_data_conf
+
+            data_conf = build_data_conf(spec["dataset_name"])
             data_conf.dataset_spec.max_seq_len = spec["max_seq_len"]
-            dset_cls = self._dataset_class()
+            dset_cls = data_conf.dataset_spec.get("dataset_class", None)
+            if dset_cls is None or isinstance(dset_cls, str):
+                dset_cls = self._dataset_class()
             val_set = dset_cls(
                 get_dataset_path(spec["dataset_name"]), hp, data_conf, "val",
                 shuffle=False, dataset_size=self.args.val_data_size,
             )
+            # drop_last=False: published val splits are smaller than one
+            # batch (12 examples vs batch 16) — dropping short batches
+            # validated literally nothing and the sweep reported empty
             loader = DataLoader(val_set, self.conf["batch_size"],
-                                shuffle=False)
+                                shuffle=False, drop_last=False)
+            if len(loader) == 0:
+                raise RuntimeError(
+                    f"dataset sweep {spec['dataset_name']}: empty val loader"
+                )
+            # shape-filtered restore: init the rebuilt model at this horizon
+            # and merge every checkpoint leaf whose shape matches. Horizon-
+            # dependent heads (e.g. the length predictor's max_seq_len-wide
+            # output Dense, aux_models.py LengthPredictor) stay freshly
+            # initialized and are reported — they only feed their own aux
+            # loss line, not the reconstruction NLL (GT end_ind is used in
+            # train-mode validation). The reference's non-strict torch load
+            # cannot express this (torch raises on any shape mismatch).
+            init_rng = jax.random.PRNGKey(0)
+            sample_batch = next(iter(loader))
+            fresh = jax.jit(
+                lambda b: model.init(
+                    {"params": init_rng, "sample": init_rng}, b, "train",
+                    "posterior",
+                )
+            )(sample_batch)
+            skipped = []
+
+            def _pick(path, f, c):
+                if f.shape == c.shape:
+                    return jax.numpy.asarray(c, f.dtype)
+                skipped.append(jax.tree_util.keystr(path))
+                return f
+
+            merged = jax.tree_util.tree_map_with_path(
+                _pick, fresh, self.state.params
+            )
+            if skipped:
+                print(f"[dataset sweep] horizon-dependent params kept fresh: "
+                      f"{skipped}")
             old_model, old_loader = self.model, self.val_loader
+            old_state = self.state
             self.model, self.val_loader = model, loader
+            self.state = self.state.replace(params=merged)
             self.val_step = make_val_step(model)
             print(f"[dataset sweep] {spec['dataset_name']} "
                   f"(T={spec['max_seq_len']}, L={hp.get('hierarchy_levels')})")
             self.val(0)
             self.model, self.val_loader = old_model, old_loader
+            self.state = old_state
             self.val_step = make_val_step(self.model)
 
     def run_metric_eval(self):
