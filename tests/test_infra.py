@@ -291,3 +291,52 @@ class TestFirstPersonView:
         assert obs2.images.shape == (1, 32, 32, 3)
         # moving the agent changes the egocentric view
         assert not np.array_equal(obs.images, obs2.images)
+
+    def test_textured_render(self):
+        """Miniworld-style textured mode: deterministic, distinct from the
+        flat-color render, with real texel variation inside wall, floor and
+        ceiling regions (procedural fallback — no PNG pack in this env)."""
+        from video_gcp_tpu.planning.infra.envs.fpv import (
+            FirstPersonRenderer,
+            procedural_texture,
+        )
+
+        # procedural tiles are deterministic and name-distinct
+        t1 = procedural_texture("brick_wall_1.png")
+        t2 = procedural_texture("wood_1.png")
+        np.testing.assert_array_equal(t1, procedural_texture("brick_wall_1.png"))
+        assert np.abs(t1 - t2).mean() > 0.01
+
+        flat = FirstPersonRenderer(3, img_size=48)
+        tex = FirstPersonRenderer(3, img_size=48, textures="procedural")
+        pos, heading = (0.05, -0.1), 0.7
+        img_f = flat.render(pos, heading)
+        img_t = tex.render(pos, heading)
+        assert img_t.shape == img_f.shape and img_t.dtype == np.uint8
+        np.testing.assert_array_equal(img_t, tex.render(pos, heading))
+        assert np.abs(img_t.astype(int) - img_f.astype(int)).mean() > 3
+
+        # ceiling (top rows) and floor (bottom rows) carry texture detail,
+        # not the flat path's smooth gradient
+        assert img_t[:6].std(axis=(0, 1)).mean() > img_f[:6].std(axis=(0, 1)).mean()
+        assert img_t[-6:].std(axis=(0, 1)).mean() > img_f[-6:].std(axis=(0, 1)).mean()
+
+    def test_textured_pack_mode_requires_assets(self):
+        from video_gcp_tpu.planning.infra.envs.fpv import FirstPersonRenderer
+
+        with pytest.raises(FileNotFoundError):
+            FirstPersonRenderer(3, img_size=32, textures="pack",
+                                texture_dir="/nonexistent")
+
+    def test_textured_env_obs(self):
+        from video_gcp_tpu.planning.infra.envs.multiroom2d import (
+            EgocentricMultiroom2dEnv,
+        )
+
+        np.random.seed(0)
+        env = EgocentricMultiroom2dEnv(
+            {"n_rooms": 9, "fpv_img_size": 32, "fpv_textures": "procedural"},
+            no_env=True)
+        obs, _ = env.reset()
+        assert obs.images.shape == (1, 32, 32, 3)
+        assert obs.images.dtype == np.uint8

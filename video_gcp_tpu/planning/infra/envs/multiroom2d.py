@@ -382,11 +382,15 @@ class EgocentricMultiroom2dEnv(Multiroom2dEnv):
         from video_gcp_tpu.planning.infra.envs.fpv import FirstPersonRenderer
 
         self._fpv = FirstPersonRenderer(
-            self._rooms_per_side, img_size=int(self._hp.fpv_img_size))
+            self._rooms_per_side, img_size=int(self._hp.fpv_img_size),
+            textures=self._hp.fpv_textures)
 
     def _default_hparams(self):
         hp = super()._default_hparams()
         hp["fpv_img_size"] = 64
+        # 'off' matches the published flat-color datasets; 'auto' gives the
+        # miniworld textured look (PNG pack when on disk, else procedural)
+        hp["fpv_textures"] = "off"
         return hp
 
     def _render_obs(self):
