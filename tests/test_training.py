@@ -301,3 +301,34 @@ class TestDatasetValSweep:
         # horizon-dependent length-predictor head stays fresh at T=8 only
         assert out.count("kept fresh") == 1, out
         assert "length_pred" in out
+
+
+class TestPretrainedNpzExport:
+    def test_save_load_roundtrip(self, tmp_path):
+        """save_pretrained_npz -> load_pretrained_npz returns the same tree
+        (float32 leaves fp16-quantized, ints untouched)."""
+        from video_gcp_tpu.training import checkpoint as ckpt
+
+        params = {"params": {
+            "enc": {"kernel": np.linspace(0, 1, 12, dtype=np.float32)
+                    .reshape(3, 4),
+                    "bias": np.zeros(4, np.float32)},
+            "steps": np.arange(5, dtype=np.int32),
+        }}
+        path = tmp_path / "pre.npz"
+        ckpt.save_pretrained_npz(str(path), params, step=7)
+        loaded = ckpt.load_pretrained_npz(str(path))
+        assert set(loaded) == {"params"}
+        np.testing.assert_allclose(
+            loaded["params"]["enc"]["kernel"],
+            params["params"]["enc"]["kernel"], atol=1e-3)
+        assert loaded["params"]["enc"]["kernel"].dtype == np.float32
+        np.testing.assert_array_equal(loaded["params"]["steps"],
+                                      params["params"]["steps"])
+
+    def test_shipped_npz_matches_format(self):
+        """The committed pretrained_ep74.npz parses as the documented format."""
+        from video_gcp_tpu.training import checkpoint as ckpt
+
+        loaded = ckpt.load_pretrained_npz(NPZ_PATH)
+        assert "params" in loaded  # flax collection level

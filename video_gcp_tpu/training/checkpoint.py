@@ -125,6 +125,31 @@ def load_pretrained_npz(path: str) -> Any:
     return tree["params"]
 
 
+def save_pretrained_npz(path: str, params: Any, step: int = 0) -> None:
+    """Inverse of `load_pretrained_npz`: flatten `params` (the TrainState
+    params field, i.e. `{'params': {<module>: ...}}`) into '/'-joined keys
+    under a leading 'params/' segment, cast float32 leaves to float16 for
+    size, and `np.savez_compressed` with a scalar 'step' (the shipped
+    pretrained_ep74.npz format, PRETRAINED.md)."""
+    import numpy as np
+
+    flat: dict = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(prefix + (str(k),), v)
+        else:
+            arr = np.asarray(jax.device_get(node))
+            if arr.dtype == np.float32:
+                arr = arr.astype(np.float16)
+            flat["/".join(prefix)] = arr
+
+    walk(("params",), jax.device_get(params))
+    flat["step"] = np.asarray(int(step))
+    np.savez_compressed(path, **flat)
+
+
 def extract_subtree(params: Any, scope: str) -> Any:
     """Extract a submodule's params by top-level key path, e.g. 'cost_mdl'
     (checkpoint_handler.py:132-143)."""
