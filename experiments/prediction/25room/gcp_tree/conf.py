@@ -1,4 +1,5 @@
-"""9-room GCP-tree (reference: experiments/prediction/25room/gcp_tree/conf.py)."""
+"""25-room GCP-tree flagship — untied layers, L=8 (255 nodes), 512x3 LSTM
+(reference: experiments/prediction/25room/gcp_tree/conf.py)."""
 from video_gcp_tpu.core.attrdict import AttrDict
 from video_gcp_tpu.planning.cem.cost_fcn import EuclideanPathLength
 from experiments.prediction.base_configs import gcp_tree as base_conf
