@@ -224,6 +224,57 @@ class TestTopDownRenderFastPath:
         np.testing.assert_array_equal(np.asarray(ex2.traj_seq),
                                       np.asarray(ex.traj_seq))
 
+    def test_render_cache_lru_bound(self, tmp_path, monkeypatch):
+        """Randomized train windows insert fresh cache keys nearly every epoch
+        (~1.2 GB/epoch at published scale — unbounded, this OOM-killed a
+        200-epoch run); the cache must evict oldest entries past the byte cap
+        while still hitting on the most recent key."""
+        import h5py
+
+        from video_gcp_tpu.core.attrdict import AttrDict
+        from video_gcp_tpu.data.datasets import (
+            MazeTopRenderedGlobalSplitVarLenVideoDataset,
+        )
+
+        monkeypatch.setenv("GCP_RENDER_CACHE_MB", "0.01")  # 10 kB cap
+        t = 12
+        d = tmp_path / "hdf5" / "train"
+        d.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for i in range(4):
+            with h5py.File(d / f"traj_{i}.h5", "w") as f:
+                f.create_dataset("traj_per_file", data=1)
+                f.create_dataset("traj0/images",
+                                 data=np.zeros((t, 1, 16, 16, 3), np.uint8))
+                f.create_dataset("traj0/states",
+                                 data=rng.uniform(-0.3, 0.3, (t, 5)))
+                f.create_dataset("traj0/actions", data=np.zeros((t - 1, 2)))
+                f.create_dataset("traj0/pad_mask", data=np.ones(t))
+        data_conf = AttrDict(
+            dataset_spec=AttrDict(max_seq_len=t,
+                                  split=AttrDict(train=1.0, val=0.0, test=0.0)),
+            n_rooms=9,
+            crop_window=40,
+        )
+        ds = MazeTopRenderedGlobalSplitVarLenVideoDataset(
+            str(tmp_path), dict(use_convs=True, img_sz=16), data_conf, "train"
+        )
+        for i in range(4):
+            ds[i]
+        assert ds._render_cache_bytes <= ds._render_cache_cap + ds[3].traj_seq.nbytes
+        assert len(ds._render_cache) < 4, "old entries must be evicted"
+        # bytes accounting must match the surviving entries exactly
+        assert ds._render_cache_bytes == sum(
+            v.nbytes for v in ds._render_cache.values())
+        # the most recent entry still hits
+        calls = []
+        orig = ds._render_env.render_traj_top_down_u8
+        ds._render_env.render_traj_top_down_u8 = (
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1]
+        )
+        ds[3]
+        assert not calls, "most recent entry must remain cached"
+
 
 class TestFirstPersonView:
     """Egocentric raycast renderer (fpv.py) — the reference's miniworld

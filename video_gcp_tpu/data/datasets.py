@@ -341,8 +341,17 @@ class MazeTopRenderedGlobalSplitVarLenVideoDataset(
         # pure function of (states[:end+1], crop_window), so caching on a
         # content hash is correct even under randomized windows/lengths and
         # makes steady-state epochs skip the renderer entirely (the single
-        # biggest t_data cost on a 1-core host feeding a TPU)
-        self._render_cache = {}
+        # biggest t_data cost on a 1-core host feeding a TPU).
+        # LRU-bounded: under randomized train windows almost every epoch
+        # inserts fresh keys (~1.2 GB/epoch at published 9-room scale), which
+        # unbounded grew to an OOM kill at epoch ~168 of a 200-epoch run —
+        # val windows are deterministic and keep hitting within the cap
+        import collections
+
+        self._render_cache = collections.OrderedDict()
+        self._render_cache_bytes = 0
+        self._render_cache_cap = int(
+            float(os.environ.get("GCP_RENDER_CACHE_MB", "2048")) * 1e6)
 
     def process_data_dict(self, data_dict):
         assert "states" in data_dict and "end_ind" in data_dict
@@ -354,6 +363,8 @@ class MazeTopRenderedGlobalSplitVarLenVideoDataset(
                 data_dict["states"][: end + 1, :2], dtype=np.float32)
             cache_key = (int(end), hashlib.md5(path.tobytes()).hexdigest())
             rendered = self._render_cache.get(cache_key)
+            if rendered is not None:
+                self._render_cache.move_to_end(cache_key)
         if rendered is None:
             w = self._crop_window_px
             raw = np.zeros(
@@ -370,6 +381,11 @@ class MazeTopRenderedGlobalSplitVarLenVideoDataset(
             rendered = self.preprocess_images(raw)
             if cache_key is not None:
                 self._render_cache[cache_key] = rendered
+                self._render_cache_bytes += rendered.nbytes
+                while (self._render_cache_bytes > self._render_cache_cap
+                       and len(self._render_cache) > 1):
+                    _, old = self._render_cache.popitem(last=False)
+                    self._render_cache_bytes -= old.nbytes
         data_dict["images"] = rendered
         return super().process_data_dict(data_dict)
 
