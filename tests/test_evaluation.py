@@ -34,6 +34,90 @@ class TestEvalBindings:
         gen = tree_dense_sample(outputs, inputs, scheme, 8)
         assert gen.shape == inputs.traj_seq.shape
 
+    @pytest.mark.parametrize("scheme", ["greedy_exist", "greedy_l2"])
+    def test_greedy_schemes_shapes(self, scheme):
+        from video_gcp_tpu.evaluation.eval_binding import tree_dense_sample
+
+        outputs, inputs = self._tree_outputs()
+        rng = np.random.RandomState(1)
+        outputs.existence_logits = jnp.asarray(
+            rng.randn(2, outputs.tree.images.shape[1]).astype(np.float32))
+        gen = tree_dense_sample(outputs, inputs, scheme, 8)
+        assert gen.shape == inputs.traj_seq.shape
+        # every emitted frame is one of the tree's node images
+        nodes = np.array(outputs.tree.images).reshape(2, -1, 8 * 8 * 3)
+        flat = np.array(gen).reshape(2, 8, 8 * 8 * 3)
+        for b in range(2):
+            for t in range(8):
+                d = np.abs(nodes[b] - flat[b, t]).max(axis=1)
+                assert d.min() < 1e-6
+
+    def test_greedy_exist_requires_existence_logits(self):
+        from video_gcp_tpu.evaluation.eval_binding import tree_dense_sample
+
+        outputs, inputs = self._tree_outputs()
+        with pytest.raises(ValueError, match="existence"):
+            tree_dense_sample(outputs, inputs, "greedy_exist", 8)
+
+    def test_greedy_exist_select_matches_host_priority_queue(self):
+        """The batched frontier argmax must pop nodes in exactly the order of
+        the reference's host-side PriorityQueue (evaluation_matching.py:48-70:
+        pop max-p node, push its children)."""
+        import heapq
+
+        from video_gcp_tpu.evaluation.eval_binding import greedy_exist_select
+
+        rng = np.random.RandomState(3)
+        b, depth, t = 3, 4, 10
+        n = 2 ** depth - 1
+        p = rng.rand(b, n).astype(np.float32)
+        end_ind = np.array([t - 1, 4, 0])
+
+        sel = np.array(greedy_exist_select(jnp.asarray(p), jnp.asarray(end_ind), t))
+        for bi in range(b):
+            want = np.zeros(n, bool)
+            heap = [(-p[bi, 0], 0)]
+            for _ in range(int(end_ind[bi]) + 1):
+                if not heap:
+                    break
+                _, node = heapq.heappop(heap)
+                want[node] = True
+                for c in (2 * node + 1, 2 * node + 2):
+                    if c < n:
+                        heapq.heappush(heap, (-p[bi, c], c))
+            np.testing.assert_array_equal(sel[bi], want)
+
+    def test_greedy_l2_match_matches_host_recursion(self):
+        """Level-batched segment matching must equal the per-example host
+        recursion it replaces (each node claims the min-cost frame in its
+        segment, children recurse into the left/right remainders)."""
+        from video_gcp_tpu.evaluation.eval_binding import greedy_l2_match
+
+        rng = np.random.RandomState(7)
+        b, depth, t = 3, 4, 11
+        n = 2 ** depth - 1
+        cost = rng.rand(b, n, t).astype(np.float32)
+        end_ind = np.array([t - 1, 6, 0])
+
+        match_t, valid = map(np.array, greedy_l2_match(
+            jnp.asarray(cost), jnp.asarray(end_ind), depth))
+
+        for bi in range(b):
+            want_m = np.zeros(n, np.int64)
+            want_v = np.zeros(n, bool)
+
+            def rec(node, lo, hi):
+                if node >= n or lo > hi:
+                    return
+                m = lo + int(np.argmin(cost[bi, node, lo:hi + 1]))
+                want_m[node], want_v[node] = m, True
+                rec(2 * node + 1, lo, m - 1)
+                rec(2 * node + 2, m + 1, hi)
+
+            rec(0, 0, int(end_ind[bi]))
+            np.testing.assert_array_equal(valid[bi], want_v)
+            np.testing.assert_array_equal(match_t[bi][want_v], want_m[want_v])
+
     def test_basic_scheme_picks_matched_nodes(self):
         """With end=T-1 and a deep-enough tree, each frame gets the node whose
         balanced timestep truncates to it."""

@@ -12,15 +12,32 @@ computation:
                front (tail repeats the last kept node, mirroring the
                reference's repeat-last-frame padding, BaseEvalBinding:37-45),
                then DTW-warp (BalancedPrunedDTWBinding:209-219)
+- 'greedy_exist': existence-probability priority expansion from the root,
+               emitted in depth-first order (GreedyExistEvalBinding:48-70).
+               GT-free: the only scheme that needs no ground-truth frames.
+- 'greedy_l2': greedy root-down min-L2 segment matching with best-of-
+               neighbours gap filling (GreedyL2EvalBinding:73-120; NB the
+               reference variant is non-functional — it calls a
+               `tree.min_l2_match` that exists nowhere in the codebase — so
+               this implements its evident intent)
+
+Neither greedy scheme is reachable from the reference's dispatch
+(tree_dense_rec.py:30-39 raises for anything outside dtw/pruned_dtw/basic);
+they are wired here for full surface parity.
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from video_gcp_tpu.core.attrdict import AttrDict
+from video_gcp_tpu.ops.cdist import batch_cdist
 from video_gcp_tpu.ops.dtw import dtw_warp_sequence
-from video_gcp_tpu.ops.tree_index import breadthfirst2depthfirst
+from video_gcp_tpu.ops.tree_index import (breadthfirst2depthfirst,
+                                          depthfirst2breadthfirst, interleave)
 
 Array = jnp.ndarray
 
@@ -29,6 +46,106 @@ def _gather_nodes(images: Array, idx: Array) -> Array:
     """images [B, N, ...], idx [B, T] -> [B, T, ...]."""
     expanded = idx.reshape(idx.shape + (1,) * (images.ndim - 2))
     return jnp.take_along_axis(images, expanded, axis=1)
+
+
+def _compact_selected_df(values_df: Array, keep_df: Array,
+                         n_keep: Array) -> Array:
+    """Stable-compact kept df nodes to the front; tail repeats the last kept
+    node (the reference's repeat-last-frame padding, BaseEvalBinding:37-45).
+
+    :param values_df: [B, N, ...]
+    :param keep_df:   [B, N] bool
+    :param n_keep:    [B] number of kept nodes per example
+    """
+    n = values_df.shape[1]
+    order = jnp.argsort(~keep_df, axis=1, stable=True)  # kept first
+    compacted = _gather_nodes(values_df, order)
+    pos = jnp.arange(n)[None, :]
+    last_idx = jnp.clip(n_keep - 1, 0, n - 1)[:, None]
+    tail_fixed = jnp.where(pos < n_keep[:, None], pos, last_idx)
+    return _gather_nodes(compacted, tail_fixed)
+
+
+def greedy_exist_select(p_bf: Array, end_ind: Array,
+                        max_seq_len: int) -> Array:
+    """Batched priority-queue expansion by existence probability
+    (GreedyExistEvalBinding, evaluation_matching.py:48-70).
+
+    The reference pops the max-p_n_hat node from a host-side PriorityQueue
+    `length` times per example, pushing children on pop. Here the queue is a
+    [B, N] frontier mask over the breadth-first tree and each pop is a masked
+    argmax — one fori_loop step per output frame, fully batched, no host
+    control flow.
+
+    :param p_bf: [B, N] per-node existence probability, breadth-first order.
+    :param end_ind: [B] last valid GT frame; end_ind+1 nodes are selected.
+    :return: [B, N] bool selected mask (breadth-first order).
+    """
+    b, n = p_bf.shape
+    parent = (jnp.arange(n) - 1) // 2  # bf parent index (junk at node 0)
+    not_root = (jnp.arange(n) >= 1)[None, :]
+    length = end_ind + 1
+
+    def body(t, carry):
+        frontier, selected = carry
+        score = jnp.where(frontier, p_bf, -jnp.inf)
+        pick = jnp.argmax(score, axis=1)  # [B]
+        onehot = jax.nn.one_hot(pick, n, dtype=jnp.bool_)
+        onehot = onehot & (t < length)[:, None] & frontier.any(1)[:, None]
+        selected = selected | onehot
+        # pop the picked node, push its children (bf children of i: 2i+1/2i+2
+        # == nodes whose parent is i; leaves' children fall off the array)
+        children = onehot[:, parent] & not_root
+        frontier = (frontier & ~onehot) | children
+        return frontier, selected
+
+    frontier0 = jnp.zeros((b, n), jnp.bool_).at[:, 0].set(True)
+    selected0 = jnp.zeros((b, n), jnp.bool_)
+    _, selected = jax.lax.fori_loop(
+        0, min(max_seq_len, n), body, (frontier0, selected0))
+    return selected
+
+
+def greedy_l2_match(cost: Array, end_ind: Array, depth: int):
+    """Greedy root-down min-L2 segment matching (GreedyL2EvalBinding's intent,
+    evaluation_matching.py:73-120 — its `tree.min_l2_match` helper does not
+    exist in the reference, so the recursion is reconstructed from the
+    collector: each node claims the min-cost frame inside its segment, then
+    the children recurse into the left/right remainders).
+
+    Level-by-level over the breadth-first tree (depth static python loop, each
+    level one batched masked argmin), instead of per-example host recursion.
+
+    :param cost: [B, N, T] node-vs-frame cost, breadth-first node order.
+    :param end_ind: [B] last valid GT frame (root segment is [0, end_ind]).
+    :return: (match_t [B, N] int32, valid [B, N] bool) in bf order.
+    """
+    b, n, t = cost.shape
+    t_idx = jnp.arange(t)[None, None, :]
+    lo = jnp.zeros((b, n), jnp.int32)
+    hi = jnp.zeros((b, n), jnp.int32).at[:, 0].set(end_ind)
+    match_t = jnp.zeros((b, n), jnp.int32)
+    valid = jnp.zeros((b, n), jnp.bool_)
+    for level in range(depth):
+        sl = slice(2 ** level - 1, 2 ** (level + 1) - 1)
+        lo_l, hi_l = lo[:, sl], hi[:, sl]
+        ok = lo_l <= hi_l
+        seg = (t_idx >= lo_l[:, :, None]) & (t_idx <= hi_l[:, :, None])
+        m = jnp.argmin(
+            jnp.where(seg, cost[:, sl], jnp.inf), axis=2).astype(jnp.int32)
+        match_t = match_t.at[:, sl].set(m)
+        valid = valid.at[:, sl].set(ok)
+        if level + 1 < depth:
+            csl = slice(2 ** (level + 1) - 1, 2 ** (level + 2) - 1)
+            # left child segment [lo, m-1], right child [m+1, hi]; an invalid
+            # parent passes empty (lo > hi) segments down
+            l_lo = jnp.where(ok, lo_l, 1)
+            l_hi = jnp.where(ok, m - 1, 0)
+            r_lo = jnp.where(ok, m + 1, 1)
+            r_hi = jnp.where(ok, hi_l, 0)
+            lo = lo.at[:, csl].set(interleave(l_lo, r_lo))
+            hi = hi.at[:, csl].set(interleave(l_hi, r_hi))
+    return match_t, valid
 
 
 def basic_timeline_index(depth: int, end_ind: Array, max_seq_len: int) -> Array:
@@ -59,25 +176,59 @@ def tree_dense_sample(outputs: AttrDict, inputs: AttrDict,
         return warped
 
     if scheme == "basic":
-        import math
-
         depth = int(math.log2(images_bf.shape[1] + 1))
         idx = basic_timeline_index(depth, end_ind, max_seq_len)
         return _gather_nodes(images_bf, idx)
 
     if scheme == "pruned_dtw":
         keep = outputs.prune_keep  # [B, N] over df nodes
-        n = images_df.shape[1]
-        # stable-compact kept nodes to the front; tail repeats last kept node
-        order = jnp.argsort(~keep, axis=1, stable=True)  # kept first
-        compacted = _gather_nodes(images_df, order)
-        n_keep = keep.sum(1)  # [B]
-        pos = jnp.arange(n)[None, :]
-        last_idx = jnp.clip(n_keep - 1, 0, n - 1)[:, None]
-        tail_fixed = jnp.where(pos < n_keep[:, None], pos, last_idx)
-        compacted = _gather_nodes(compacted, tail_fixed)
+        compacted = _compact_selected_df(images_df, keep, keep.sum(1))
         warped, _ = dtw_warp_sequence(compacted, inputs.traj_seq, end_ind)
         return warped
+
+    if scheme == "greedy_exist":
+        if "existence_logits" not in outputs:
+            raise ValueError(
+                "greedy_exist needs the balanced existence predictor "
+                "(outputs.existence_logits); adaptive models expose "
+                "distance_logits instead")
+        p_df = jax.nn.sigmoid(outputs.existence_logits)  # df node order
+        selected_bf = greedy_exist_select(
+            depthfirst2breadthfirst(p_df), end_ind, max_seq_len)
+        selected_df = breadthfirst2depthfirst(selected_bf)
+        seq = _compact_selected_df(images_df, selected_df, selected_df.sum(1))
+        # emit on the GT timeline length (tail repeats the last kept node)
+        n = seq.shape[1]
+        pos = np.clip(np.arange(max_seq_len), 0, n - 1)
+        return seq[:, pos]
+
+    if scheme == "greedy_l2":
+        depth = int(math.log2(images_bf.shape[1] + 1))
+        cost = batch_cdist(images_bf, inputs.traj_seq)  # [B, N, T]
+        match_t, valid = greedy_l2_match(cost, end_ind, depth)
+        b, n = match_t.shape
+        t_total = cost.shape[2]
+        # scatter node ids onto the frame timeline; valid nodes claim
+        # pairwise-disjoint frames by construction (segments nest), invalid
+        # ones are dumped into a trash slot past the end
+        node_ids = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32)[None], (b, n))
+        tgt = jnp.where(valid, match_t, t_total)
+        frame_node = jnp.full((b, t_total + 1), -1, jnp.int32)
+        frame_node = frame_node.at[
+            jnp.arange(b)[:, None], tgt].set(node_ids)[:, :t_total]
+        # gap filling: nearest previous matched frame (next one for a gap
+        # before the first match) — the reference's best-of-neighbours fill
+        has = frame_node >= 0
+        t_idx = jnp.broadcast_to(jnp.arange(t_total)[None, :], (b, t_total))
+        prev_t = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(has, t_idx, -1), axis=1)
+        next_t = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(has, t_idx, t_total), axis=1, reverse=True)
+        src = jnp.where(prev_t >= 0, prev_t, jnp.clip(next_t, 0, t_total - 1))
+        src = jnp.clip(src, 0, t_total - 1)
+        idx = jnp.clip(jnp.take_along_axis(frame_node, src, axis=1), 0, n - 1)
+        return _gather_nodes(images_bf, idx)
 
     raise ValueError(f"unknown pruning scheme {scheme!r}")
 
