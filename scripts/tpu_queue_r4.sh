@@ -54,6 +54,12 @@ if ! ls "$BIG"/metrics/results_*.txt >/dev/null 2>&1; then
         --path experiments/prediction/9room/gcp_tree_12k --metric 1
 fi
 
+if [ ! -d "$GCP_DATA_DIR/nav_9rooms/start_goal_configs/raw" ]; then
+    stage "generating start/goal benchmark configs (CPU)"
+    JAX_PLATFORMS=cpu python -m video_gcp_tpu.planning.run \
+        experiments/data_gen/nav_9rooms_start_goal/mod_hyper.py
+fi
+
 if [ ! -f "$CTRL_LOG/scores_0to19.pkl" ]; then
     stage "20-task control benchmark with the 12k checkpoint"
     $R "$CTRL_LOG" 1800 10 python -m video_gcp_tpu.planning.run \
@@ -62,6 +68,20 @@ if [ ! -f "$CTRL_LOG/scores_0to19.pkl" ]; then
     python -m video_gcp_tpu.evaluation.compute_control_perf \
         --path "$CTRL_LOG/scores_0to19.pkl" \
         || stage "compute_control_perf failed"
+fi
+
+# 4./5. the round-3 three-way table's quality leader (adaptive soft-DTW
+# binding) at the same 12k data scale + its top-of-100 eval
+ADA=$GCP_EXP_DIR/prediction/9room/gcp_adaptive_12k
+if [ ! -d "$ADA/weights/weights_ep99" ]; then
+    stage "gcp_adaptive_12k: 100-epoch training on 12k trajectories"
+    $R "$ADA/weights" 2400 20 python -m $T \
+        --path experiments/prediction/9room/gcp_adaptive_12k --num_epochs 100
+fi
+if ! ls "$ADA"/metrics/results_*.txt >/dev/null 2>&1; then
+    stage "gcp_adaptive_12k top-of-100 eval"
+    $R "$ADA/metrics" 1200 4 python -m $T \
+        --path experiments/prediction/9room/gcp_adaptive_12k --metric 1
 fi
 
 stage "queue4 complete"
