@@ -1,15 +1,30 @@
-"""CEM planners: generic, hierarchical (tree), image variants.
+"""CEM planners over batched device rollouts.
 
-Reference: gcp/planning/cem/cem_planner.py:15-266. Orchestration is host-side
-(tiny state); every candidate evaluation is a batched device rollout through
-GCPSimulator. The max_rollout_bs splitting is kept for memory parity.
+Behavioral parity with gcp/planning/cem/cem_planner.py:15-266 (class names and
+hparam keys are config values), restructured host-first around three pieces
+instead of the reference's monolithic planner loop:
+
+- ``RolloutBatch``: a ragged host-side batch of candidate rollouts with the
+  select/concat/clip operations the loop needs. Everything heavy inside it
+  came from ONE batched jitted model call (see cem/simulator.py) — the host
+  only shuffles references.
+- ``run_cem``: the CEM iteration as a pure function over four callables
+  (sample / evaluate / select / refit), unit-testable without a model.
+- Planner classes: thin shells that build the cost + sampler from hparams and
+  provide the callables. Elite selection is a method so the hierarchical
+  planner can swap in layer-sequential tree optimization.
+
+Intentional deltas from the reference: candidate chunks ceil-divide (the
+reference floor-divides and silently drops the tail batch), image/latent
+splitting is an explicit ``ImageCost`` interface instead of a ``hasattr``
+probe on a private method, and the ``hack_add_state`` log back-patch is gone
+(no caller needs it).
 """
 from __future__ import annotations
 
-import copy
 import os
 import pickle
-from collections import defaultdict
+from dataclasses import dataclass, field
 
 import numpy as np
 
@@ -17,6 +32,7 @@ from video_gcp_tpu.core.attrdict import AttrDict
 from video_gcp_tpu.core.params import ParamDict
 from video_gcp_tpu.planning.cem.cost_fcn import (
     EuclideanPathLength,
+    ImageCost,
     LearnedCostEstimate,
 )
 from video_gcp_tpu.planning.cem.sampler import (
@@ -25,84 +41,103 @@ from video_gcp_tpu.planning.cem.sampler import (
 )
 
 
+@dataclass
+class RolloutBatch:
+    """Ragged batch of candidate rollouts (lists of [T_i, ...] numpy arrays;
+    per-candidate lengths differ because the model predicts sequence length)."""
+
+    predictions: list = field(default_factory=list)
+    latents: list = field(default_factory=list)
+    states: list = field(default_factory=list)
+    actions: list = field(default_factory=list)
+
+    FIELDS = ("predictions", "latents", "states", "actions")
+
+    def __len__(self):
+        return len(self.predictions)
+
+    def absorb(self, sim_output: AttrDict):
+        """Append one simulator chunk."""
+        for name in self.FIELDS:
+            getattr(self, name).extend(sim_output.get(name, []))
+
+    def take(self, idxs) -> "RolloutBatch":
+        return RolloutBatch(**{
+            name: [getattr(self, name)[i] for i in idxs]
+            if getattr(self, name) else []
+            for name in self.FIELDS
+        })
+
+    def clipped(self, horizon) -> "RolloutBatch":
+        if horizon is None:
+            return self
+        return RolloutBatch(**{
+            name: [r[:horizon] for r in getattr(self, name)]
+            for name in self.FIELDS
+        })
+
+
+@dataclass
+class EliteSet:
+    """Result of one CEM iteration's selection step."""
+
+    images: list        # elite rollouts, image part only (for logging)
+    states: list        # elite regressed states
+    scores: np.ndarray  # elite costs, ascending
+    samples: np.ndarray  # latent samples to refit / re-evaluate
+
+
+def run_cem(n_iters, n_candidates, sample_fn, evaluate_fn, select_fn,
+            refit_fn):
+    """The CEM optimization loop as a pure function.
+
+    Each iteration: draw candidates, evaluate them to a RolloutBatch, select
+    an EliteSet, refit the proposal. Returns the last EliteSet plus the
+    per-iteration history (reference cem_planner.py:62-87 semantics).
+    """
+    history = []
+    for _ in range(n_iters):
+        samples = sample_fn(n_candidates)
+        elite = select_fn(evaluate_fn(samples), samples)
+        refit_fn(elite.samples, elite.scores)
+        history.append(elite)
+    return history[-1], history
+
+
 class CEMPlanner:
-    """Generic CEM planner."""
+    """Flat CEM: Gaussian proposals over model latents, cost-ranked elites."""
 
     def __init__(self, hp, simulator):
         self._hp = self._default_hparams().overwrite(hp)
         self._simulator = simulator
         self._cost_fcn = self._build_cost()
         self._sampler = self._build_sampler()
-        self._logs = []
+        self._call_logs = []  # one entry per __call__, drained by log_verbose
 
     def _default_hparams(self) -> ParamDict:
-        p = ParamDict(
+        return ParamDict(
+            # optimization (reference cem_planner.py:24-37 key set)
             horizon=None,
             action_dim=None,
             n_iters=1,
             batch_size=64,
             max_rollout_bs=100,
             elite_frac=0.1,
-        )
-        p.update(ParamDict(
+            # cost
             cost_fcn=EuclideanPathLength,
             dense_cost=False,
             final_step_cost_weight=1.0,
-        ))
-        p.update(ParamDict(
+            # proposal
             sampler=FlatCEMSampler,
             sampler_clip_val=float("inf"),
             initial_std=3e-1,
-        ))
-        p.update(ParamDict(
+            # plan extraction + logging
             verbose=False,
             dump_planning_data=False,
             use_delta_state_actions=False,
             use_inferred_actions=True,
             max_seq_len=None,
-        ))
-        return p
-
-    # ------------------------------------------------------------------
-
-    def __call__(self, state, goal_state):
-        logs = []
-        self._sampler.init()
-        best_samples, best_scores = None, None
-        for _ in range(self._hp.n_iters):
-            samples = self._sampler.sample(self._hp.batch_size)
-            rollouts = self._rollout(state, goal_state, samples)
-            (best_rollouts, best_rollouts_states, best_scores, best_samples,
-             elite_idxs) = self._get_best_rollouts(rollouts, goal_state, samples)
-            self._sampler.fit(best_samples, best_scores)
-            logs.append(AttrDict(
-                elite_rollouts=copy.deepcopy(best_rollouts),
-                elite_scores=best_scores,
-                dists=self._sampler.get_dists(),
-                goal_state=goal_state,
-                elite_states=copy.deepcopy(best_rollouts_states),
-            ))
-
-        final_rollouts = self._rollout(state, goal_state, best_samples)
-        logs.append(AttrDict(
-            elite_rollouts=copy.deepcopy(
-                self._maybe_split_image(final_rollouts.predictions)
-            ),
-            elite_scores=best_scores,
-            dists=self._sampler.get_dists(),
-            goal_state=goal_state,
-            elite_states=copy.deepcopy(final_rollouts.states),
-        ))
-        best_actions = self._get_action_plan(final_rollouts, best_samples)
-        self._logs.append(logs)
-        return (
-            final_rollouts.predictions[0],
-            best_actions[0] if len(best_actions) else None,
-            final_rollouts.latents[0],
-            best_scores[0],
         )
-
-    # ------------------------------------------------------------------
 
     def _build_cost(self):
         return self._hp.cost_fcn(self._hp.dense_cost,
@@ -114,85 +149,117 @@ class CEMPlanner:
             self._hp.action_dim, self._hp.initial_std,
         )
 
-    def _rollout(self, state, goal, samples):
-        output = defaultdict(list)
-        # ceil: the reference floor-divides (cem_planner.py:115-122), silently
-        # dropping the tail when batch_size % max_rollout_bs != 0
-        n_chunks = max(-(-samples.shape[0] // self._hp.max_rollout_bs), 1)
-        for i in range(n_chunks):
-            chunk = samples[
-                i * self._hp.max_rollout_bs : (i + 1) * self._hp.max_rollout_bs
-            ]
-            sim_output = self._simulator.rollout(
-                state, goal, chunk, self._hp.max_seq_len
-            )
-            for key in sim_output:
-                output[key] = output[key] + sim_output[key]
-        return AttrDict(
-            {key: self._cap_to_horizon(output[key]) for key in output}
+    # ------------------------------------------------------------------
+    # planning
+
+    def __call__(self, state, goal_state):
+        self._sampler.init()
+        elite, history = run_cem(
+            self._hp.n_iters, self._hp.batch_size,
+            self._sampler.sample,
+            lambda z: self._evaluate(state, goal_state, z),
+            lambda rollouts, z: self._select_elites(rollouts, goal_state, z),
+            self._sampler.fit,
         )
 
-    def _get_best_rollouts(self, rollouts, goal_state, samples):
-        scores = self._cost_fcn(rollouts.predictions, goal_state)
-        full_elite_idxs = scores.argsort()
-        elite_idxs = full_elite_idxs[
-            : int(self._hp.batch_size * self._hp.elite_frac)
-        ]
-        best_rollouts = [rollouts.predictions[i] for i in elite_idxs]
-        best_states = [rollouts.states[i] for i in elite_idxs] \
-            if rollouts.states else []
+        # re-rollout the winning samples once more for the returned plan
+        final = self._evaluate(state, goal_state, elite.samples)
+        self._record_call(history, final, elite, goal_state)
+
+        actions = self._extract_action_plan(final, elite.samples)
         return (
-            self._maybe_split_image(best_rollouts),
-            best_states,
-            scores[elite_idxs],
-            samples[elite_idxs],
-            elite_idxs,
+            final.predictions[0],
+            actions[0] if len(actions) else None,
+            final.latents[0],
+            elite.scores[0],
         )
 
-    def _maybe_split_image(self, rollout):
-        if hasattr(self._cost_fcn, "_split_state_rollout"):
-            return self._cost_fcn._split_state_rollout(rollout).image_rollout
-        return rollout
+    def _evaluate(self, state, goal, samples) -> RolloutBatch:
+        """Roll every candidate through the model, in device-batched chunks of
+        at most max_rollout_bs, then clip to the planning horizon."""
+        batch = RolloutBatch()
+        for chunk in np.array_split(
+                samples,
+                max(1, -(-len(samples) // self._hp.max_rollout_bs))):
+            batch.absorb(self._simulator.rollout(
+                state, goal, chunk, self._hp.max_seq_len))
+        return batch.clipped(self._hp.horizon)
 
-    def _get_action_plan(self, final_rollouts, best_samples):
+    def _select_elites(self, rollouts: RolloutBatch, goal,
+                       samples) -> EliteSet:
+        scores = np.asarray(self._cost_fcn(rollouts.predictions, goal))
+        n_elite = max(1, int(len(scores) * self._hp.elite_frac))
+        order = np.argsort(scores)[:n_elite]
+        picked = rollouts.take(order)
+        return EliteSet(
+            images=self._image_part(picked.predictions),
+            states=picked.states,
+            scores=scores[order],
+            samples=np.asarray(samples)[order],
+        )
+
+    def _image_part(self, rollouts):
+        """Image slice of flattened image(+latent) rollouts — only costs that
+        declare the split (ImageCost) know the latent width."""
+        if isinstance(self._cost_fcn, ImageCost):
+            return self._cost_fcn.image_rollouts(rollouts)
+        return rollouts
+
+    def _extract_action_plan(self, final: RolloutBatch, samples):
         if self._hp.use_delta_state_actions:
-            return [b[1:] - b[:-1] for b in final_rollouts.states]
+            return [s[1:] - s[:-1] for s in final.states]
         if self._hp.use_inferred_actions:
-            return final_rollouts.actions
-        return best_samples
+            return final.actions
+        return samples
 
-    def _cap_to_horizon(self, vals):
-        if self._hp.horizon is not None:
-            return [v[: self._hp.horizon] for v in vals]
-        return vals
+    # ------------------------------------------------------------------
+    # logging
+
+    def _record_call(self, history, final: RolloutBatch, elite: EliteSet,
+                     goal_state):
+        entries = [
+            AttrDict(
+                elite_rollouts=e.images, elite_scores=e.scores,
+                dists=self._sampler.get_dists(), goal_state=goal_state,
+                elite_states=e.states,
+            )
+            for e in history
+        ]
+        entries.append(AttrDict(
+            elite_rollouts=self._image_part(final.predictions),
+            elite_scores=elite.scores,
+            dists=self._sampler.get_dists(),
+            goal_state=goal_state,
+            elite_states=final.states,
+        ))
+        self._call_logs.append(entries)
+
+    def log_verbose(self, logger, step, phase, i_tr, dump_dir):
+        if self._hp.dump_planning_data:
+            os.makedirs(os.path.join(dump_dir, "planning"), exist_ok=True)
+            with open(os.path.join(
+                    dump_dir, f"planning/traj{i_tr}_raw_data.pkl"), "wb") as f:
+                pickle.dump(self._call_logs, f)
+        self._call_logs = []
 
     @property
     def append_latent(self):
         return self._sampler.append_latent
 
-    # ------------------------------------------------------------------
-
-    def log_verbose(self, logger, step, phase, i_tr, dump_dir):
-        if self._hp.dump_planning_data:
-            os.makedirs(os.path.join(dump_dir, "planning"), exist_ok=True)
-            with open(
-                os.path.join(dump_dir, f"planning/traj{i_tr}_raw_data.pkl"),
-                "wb",
-            ) as f:
-                pickle.dump(self._logs, f)
-        self._logs = []
-
-    def hack_add_state(self, state):
-        self._logs[-1][-1].state = state.copy()
-
 
 class HierarchicalCEMPlanner(CEMPlanner):
-    """CEM planner with layer-sequential tree optimization."""
+    """CEM with layer-sequential tree-latent optimization: elite selection is
+    delegated to the hierarchical sampler, which scores subgoals with a
+    learned cost and freezes one tree layer per iteration."""
 
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
-        if self._hp.sampling_rates_per_layer is not None:
-            assert self._hp.n_iters == len(self._hp.sampling_rates_per_layer) + 1
+        if self._hp.sampling_rates_per_layer is not None \
+                and self._hp.n_iters != \
+                len(self._hp.sampling_rates_per_layer) + 1:
+            raise ValueError(
+                "hierarchical CEM needs one iteration per scheduled layer "
+                "plus a final-layer pass")
 
     def _default_hparams(self):
         p = super()._default_hparams()
@@ -228,42 +295,54 @@ class HierarchicalCEMPlanner(CEMPlanner):
             n_ll_samples=self._hp.n_ll_samples,
         )
 
-    def _get_best_rollouts(self, rollouts, goal_state, samples):
+    def _select_elites(self, rollouts, goal, samples):
         if not isinstance(self._sampler, HierarchicalTreeCEMSampler):
-            return super()._get_best_rollouts(rollouts, goal_state, samples)
-        best_rollouts, best_scores = self._sampler.optimize(
-            rollouts.predictions, goal_state
+            return super()._select_elites(rollouts, goal, samples)
+        best_rollouts, best_costs = self._sampler.optimize(
+            rollouts.predictions, goal)
+        # the optimizer froze one more layer: draw the follow-up candidates
+        # under the updated schedule for the next iteration / final rollout
+        return EliteSet(
+            images=best_rollouts,
+            states=rollouts.states,
+            scores=best_costs,
+            samples=self._sampler.sample(self._hp.batch_size),
         )
-        best_samples = self._sampler.sample(self._hp.batch_size)
-        elite_idxs = np.arange(len(best_rollouts))
-        return best_rollouts, rollouts.states, np.asarray(best_scores), \
-            best_samples, elite_idxs
 
 
 class ImageCEMPlanner(CEMPlanner):
-    """Adds verbose TB image logging of elite plans (cem_planner.py:222-255)."""
+    """Adds TB image strips of the elite plans per replan step / CEM iteration
+    (reference cem_planner.py:222-255)."""
 
     def log_verbose(self, logger, step, phase, i_tr, dump_dir):
         if self._hp.verbose and logger is not None:
-            for replan_idx, replan_log in enumerate(self._logs):
-                for it_idx, iter_log in enumerate(replan_log):
-                    plans = []
-                    for plan in iter_log.elite_rollouts:
-                        plan = np.clip((np.asarray(plan) + 1) / 2, 0, 1)
-                        t = plan.shape[0]
-                        if self._hp.horizon and t < self._hp.horizon:
-                            pad = np.ones((self._hp.horizon - t,) + plan.shape[1:])
-                            plan = np.concatenate([plan, pad])
-                        plans.append(np.concatenate(list(plan), axis=1))
-                    strip = np.concatenate(plans, axis=0) * 2 - 1
+            for replan_idx, entries in enumerate(self._call_logs):
+                for it_idx, entry in enumerate(entries):
+                    strip = self._plan_strip(entry.elite_rollouts)
                     logger.log_images(
                         strip[None],
-                        f"elite_trajs_{i_tr}_test/plan_r{replan_idx}_iter{it_idx}",
+                        f"elite_trajs_{i_tr}_test/"
+                        f"plan_r{replan_idx}_iter{it_idx}",
                         step, phase,
                     )
         super().log_verbose(logger, step, phase, i_tr, dump_dir)
 
+    def _plan_strip(self, plans):
+        """Stack elite plans into one [sum_H, T*W, C] strip: time unrolls
+        along width, plans along height, short plans white-padded."""
+        rows = []
+        for plan in plans:
+            frames = np.clip((np.asarray(plan) + 1) / 2, 0, 1)
+            if self._hp.horizon and frames.shape[0] < self._hp.horizon:
+                pad = np.ones(
+                    (self._hp.horizon - frames.shape[0],) + frames.shape[1:])
+                frames = np.concatenate([frames, pad])
+            rows.append(np.concatenate(list(frames), axis=1))
+        return np.concatenate(rows, axis=0) * 2 - 1
+
 
 class HierarchicalImageCEMPlanner(HierarchicalCEMPlanner, ImageCEMPlanner):
+    """Hierarchical tree optimization + image logging."""
+
     def log_verbose(self, *args, **kwargs):
         ImageCEMPlanner.log_verbose(self, *args, **kwargs)

@@ -33,7 +33,15 @@ class CostFcn:
 
 
 class ImageCost:
-    """Splits flattened image+latent rollouts (NHWC images)."""
+    """Splits flattened image+latent rollouts (NHWC images). Costs that mix
+    this in declare that their rollouts carry `input_dim` latent channels
+    after the pixels; the planner asks for the image slice through
+    image_rollouts() (explicit interface — reference probes hasattr on the
+    private splitter, cem_planner.py:169-171)."""
+
+    def image_rollouts(self, rollouts):
+        """Image part of each flattened rollout, as [T, H, W, C] arrays."""
+        return self._split_state_rollout(rollouts).image_rollout
 
     def _split_state_rollout(self, rollouts):
         def reshape_to_image(flat):
