@@ -189,3 +189,83 @@ class TestTreeOptimizerUnit:
         # top layer collapsed to optimal z; final layer now optimizing with 4
         assert z2.shape == (4, 7, 3)
         np.testing.assert_allclose(z2[:, 3], np.tile(opt._opt_z[0], (4, 1)))
+
+
+class TestCEMLoopUnits:
+    """Unit tests for the pure CEM pieces (no model): run_cem, RolloutBatch,
+    and the PDDM proposal distribution."""
+
+    def test_run_cem_pure_loop(self):
+        from video_gcp_tpu.planning.cem.cem_planner import (
+            EliteSet, RolloutBatch, run_cem,
+        )
+
+        rng = np.random.RandomState(0)
+        target = np.full((1, 3), 0.7)
+        refits = []
+
+        def sample_fn(n):
+            return rng.randn(n, 1, 3)
+
+        def evaluate_fn(z):
+            return RolloutBatch(predictions=list(z), latents=list(z),
+                                states=[], actions=[])
+
+        def select_fn(rollouts, z):
+            scores = np.array(
+                [np.linalg.norm(p - target) for p in rollouts.predictions])
+            order = np.argsort(scores)[:4]
+            return EliteSet(images=[rollouts.predictions[i] for i in order],
+                            states=[], scores=scores[order],
+                            samples=np.asarray(z)[order])
+
+        elite, history = run_cem(3, 16, sample_fn, evaluate_fn, select_fn,
+                                 lambda s, c: refits.append(s))
+        assert len(history) == 3 and len(refits) == 3
+        assert elite is history[-1]
+        # scores ascending within an EliteSet; elites beat the median draw
+        assert np.all(np.diff(elite.scores) >= 0)
+
+    def test_rollout_batch_take_and_clip(self):
+        from video_gcp_tpu.planning.cem.cem_planner import RolloutBatch
+
+        b = RolloutBatch()
+        b.absorb(AttrDict(predictions=[np.zeros((5, 2)), np.ones((7, 2))],
+                          latents=[np.zeros((5, 4)), np.ones((7, 4))],
+                          states=[], actions=[]))
+        b.absorb(AttrDict(predictions=[np.full((9, 2), 2.0)],
+                          latents=[np.full((9, 4), 2.0)],
+                          states=[], actions=[]))
+        assert len(b) == 3
+        picked = b.take([2, 0])
+        assert picked.predictions[0][0, 0] == 2.0
+        assert picked.states == []
+        clipped = b.clipped(6)
+        assert [p.shape[0] for p in clipped.predictions] == [5, 6, 6]
+
+    def test_pddm_sampler_correlation_and_refit(self):
+        from video_gcp_tpu.planning.cem.sampler import PDDMSampler
+
+        np.random.seed(0)
+        s = PDDMSampler(1e9, 40, 2, 0.3)
+        z = s.sample(512)
+        assert z.shape == (512, 40, 2)
+        d = z - z.mean(0)
+        lag1 = np.mean(d[:, 1:] * d[:, :-1]) / np.mean(d * d)
+        assert lag1 > 0.3, f"AR(1) noise not time-correlated: {lag1:.3f}"
+        # kernel matches the recursion n_t = B x_t + (1-B) n_{t-1} exactly
+        white = np.random.randn(3, 40, 2)
+        ref, n_i = [], np.zeros((3, 2))
+        for t in range(40):
+            n_i = s.BETA * white[:, t] + (1 - s.BETA) * n_i
+            ref.append(n_i.copy())
+        ref = np.stack(ref, 1)
+        lag = np.arange(40)[:, None] - np.arange(40)
+        kernel = np.tril(s.BETA * (1 - s.BETA) ** np.maximum(lag, 0))
+        np.testing.assert_allclose(
+            np.einsum("ts,nsd->ntd", kernel, white), ref, atol=1e-12)
+        # softmax path-integral refit pulls the mean toward cheap samples
+        costs = np.linalg.norm(z - 0.5, axis=(1, 2))
+        s.fit(z, costs)
+        before = np.linalg.norm(np.zeros((40, 2)) - 0.5)
+        assert np.linalg.norm(s.get_dists().mean - 0.5) < before
