@@ -59,7 +59,12 @@ if [ ! -d "$GCP_DATA_DIR/nav_9rooms/start_goal_configs/raw" ]; then
 fi
 
 # --- 2./3. reference-data-scale 9-room tree ----------------------------
-train_then_eval 9room/gcp_tree_12k 100 2400 1800
+# 76 epochs (not the originally queued 100): at the measured 3.2 min/epoch the
+# extra 24 epochs would push top-of-100 + control past the round boundary, and
+# the round-3 ep74-vs-ep199 ablation showed epoch count is not the binding
+# constraint. 76 epochs on 12k trajs ~= 6x the gradient steps of the round-3
+# 2k-trajectory runs.
+train_then_eval 9room/gcp_tree_12k 76 2400 1800
 
 # --- 4. 20-task control with the 12k checkpoint ------------------------
 CTRL=experiments/control/9room/gcp_tree_12k/log
@@ -70,6 +75,19 @@ if [ ! -f "$CTRL/scores_0to19.pkl" ]; then
         --start_idx 0 --end_idx 19
     python -m video_gcp_tpu.evaluation.compute_control_perf \
         --path "$CTRL/scores_0to19.pkl" || stage "compute_control_perf failed"
+fi
+
+# --- 8 (moved up). 100-task control protocol ----------------------------
+# Per-task resumable, so it degrades gracefully at the round boundary; the
+# multi-hour T=500 / 25-room training stages below would not.
+if [ ! -f "$CTRL/scores_0to99.pkl" ]; then
+    stage "extend control to 100 tasks (per-task resumable)"
+    $R "$CTRL" 1800 30 python -m $RUN \
+        experiments/control/9room/gcp_tree_12k/mod_hyper.py \
+        --start_idx 0 --end_idx 99
+    python -m video_gcp_tpu.evaluation.compute_control_perf \
+        --path "$CTRL/scores_0to99.pkl" \
+        || stage "compute_control_perf failed for 0to99"
 fi
 
 # --- 5./6. controlled tree-vs-sequential at T=500 -----------------------
@@ -85,17 +103,6 @@ if [ -f "$GCP_DATA_DIR/nav_25rooms/traj_999.h5" ]; then
     train_then_eval 25room/gcp_tree 75 2400 2400
 else
     stage "SKIP 25room flagship: datagen incomplete"
-fi
-
-# --- 8. 100-task control protocol ---------------------------------------
-if [ ! -f "$CTRL/scores_0to99.pkl" ]; then
-    stage "extend control to 100 tasks (per-task resumable)"
-    $R "$CTRL" 1800 30 python -m $RUN \
-        experiments/control/9room/gcp_tree_12k/mod_hyper.py \
-        --start_idx 0 --end_idx 99
-    python -m video_gcp_tpu.evaluation.compute_control_perf \
-        --path "$CTRL/scores_0to99.pkl" \
-        || stage "compute_control_perf failed for 0to99"
 fi
 
 # --- 9. decoder-controlled adaptive ablation ----------------------------
