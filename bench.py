@@ -147,6 +147,35 @@ def bench_train_step(batch_size: int = 16, levels: int = 7,
     return batch_size * seq_len / dt
 
 
+def _try_enable_fused_gn() -> bool:
+    """Opt into the fused GroupNorm+LeakyReLU Pallas pass (ops/fused_gn.py)
+    when a probe compiles and matches the stock path on this backend; any
+    failure leaves the stock XLA lowering so the primary metric always lands.
+    An explicit GCP_FUSED_GN in the environment wins either way."""
+    import os
+
+    if "GCP_FUSED_GN" in os.environ:
+        return os.environ["GCP_FUSED_GN"] == "1"
+    try:
+        from video_gcp_tpu.ops.fused_gn import (
+            fused_group_norm_lrelu,
+            gn_lrelu_reference,
+        )
+
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(4, 8, 16, 32), jnp.bfloat16)
+        sc = jnp.ones((32,))
+        bi = jnp.zeros((32,))
+        out = jax.block_until_ready(fused_group_norm_lrelu(x, sc, bi, 8))
+        ref = gn_lrelu_reference(x, sc, bi, 8)
+        ok = bool(jnp.max(jnp.abs(out.astype(jnp.float32) -
+                                  ref.astype(jnp.float32))) < 0.05)
+    except Exception:
+        ok = False
+    os.environ["GCP_FUSED_GN"] = "1" if ok else "0"
+    return ok
+
+
 def _chip_peak_flops() -> float:
     """Peak dense bf16 FLOPs/s for the local chip (TPU generations; defaults
     to v5e's 197 TFLOPs/s when the device kind is unrecognized)."""
@@ -178,6 +207,7 @@ def main():
     )
 
     enable_persistent_compile_cache()
+    fused_gn = _try_enable_fused_gn()
     batch_size = 32  # per chip (batch sweep: 32 saturates the v5e MXU)
     levels = 9  # 511 nodes -> >=500 predicted frames
     n_frames = 500
@@ -207,6 +237,7 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(frames_per_sec / 5000.0, 3),
         "mfu": mfu,
+        "fused_gn": fused_gn,
         "secondary": secondary,
     }))
 

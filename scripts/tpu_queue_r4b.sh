@@ -66,6 +66,13 @@ fi
 # 2k-trajectory runs.
 train_then_eval 9room/gcp_tree_12k 76 2400 1800
 
+# --- 3b. fused-GN A/B on the bench rollout (short; committed artifact) --
+if [ ! -f experiments/profiles/fused_gn_ab.json ]; then
+    stage "fused GroupNorm A/B bench"
+    timeout 1200 python scripts/ab_fused_gn.py \
+        || stage "fused GN A/B failed (non-fatal)"
+fi
+
 # --- 4. 20-task control with the 12k checkpoint ------------------------
 CTRL=experiments/control/9room/gcp_tree_12k/log
 if [ ! -f "$CTRL/scores_0to19.pkl" ]; then

@@ -17,6 +17,7 @@ is configurable (bfloat16 on TPU) with float32 parameters.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -24,21 +25,56 @@ import jax
 import jax.numpy as jnp
 
 from video_gcp_tpu.core.distributions import Gaussian, unit_gaussian
+from video_gcp_tpu.ops.fused_gn import fusable, fused_group_norm_lrelu
 
 Array = jnp.ndarray
 
 
-def _norm(hp, dtype):
+def _fused_gn_enabled() -> bool:
+    """Opt-in switch for the single-pass Pallas GroupNorm+LeakyReLU
+    (ops/fused_gn.py). Off by default so numbers produced by in-flight
+    pipelines stay attributable to the stock XLA lowering."""
+    return os.environ.get("GCP_FUSED_GN", "0") == "1"
+
+
+class GroupNorm(nn.GroupNorm):
+    """GroupNorm with a fused LeakyReLU epilogue.
+
+    Deliberately named `GroupNorm` so flax auto-naming produces the same
+    `GroupNorm_k` checkpoint keys (params `scale`/`bias`) as the stock module
+    this replaces — checkpoints trained either way load unchanged. When the
+    fused path is enabled (GCP_FUSED_GN=1) and the shape is eligible, the
+    norm+activation runs as one VMEM-resident Pallas pass; otherwise it is the
+    stock flax math followed by leaky_relu."""
+
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x):  # noqa: D102 — see class docstring
+        if _fused_gn_enabled() and fusable(x.shape, self.num_groups):
+            ch = x.shape[-1]
+            scale = self.param("scale", self.scale_init, (ch,),
+                               self.param_dtype)
+            bias = self.param("bias", self.bias_init, (ch,), self.param_dtype)
+            return fused_group_norm_lrelu(
+                x.astype(self.dtype or x.dtype), scale, bias, self.num_groups,
+                eps=self.epsilon, slope=self.negative_slope)
+        return nn.leaky_relu(nn.GroupNorm.__call__(self, x),
+                             self.negative_slope)
+
+
+def _norm_act(hp, dtype):
+    """Per-channel-count factory for the conv blocks' norm+LeakyReLU pair."""
     if hp.get("normalization", "group") == "group":
 
         def make(ch):
             groups = 8
             while ch % groups != 0:
                 groups //= 2
-            return nn.GroupNorm(num_groups=groups, dtype=dtype)
+            return GroupNorm(num_groups=groups, dtype=dtype)
 
         return make
-    return lambda ch: (lambda x: x)  # 'none'
+    return lambda ch: (lambda x: nn.leaky_relu(x, 0.2))  # 'none'
 
 
 class MLP(nn.Module):
@@ -81,12 +117,11 @@ class ConvEncoder(nn.Module):
         n_levels = hp.get("n_conv_layers") or int(math.log2(hp["img_sz"]))
         x = img.astype(self.dtype)
         skips = []
-        norm = _norm(hp, self.dtype)
+        norm_act = _norm_act(hp, self.dtype)
         for i in range(n_levels):
             ch = min(hp["ngf"] * 2 ** i, 256)
             x = nn.Conv(ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
-            x = norm(ch)(x)
-            x = nn.leaky_relu(x, 0.2)
+            x = norm_act(ch)(x)
             skips.append(x)
         x = x.reshape(x.shape[:-3] + (-1,))  # [B, ch] at 1x1 spatial
         e = nn.Dense(hp["nz_enc"], dtype=self.dtype)(x)
@@ -116,7 +151,7 @@ class ConvDecoder(nn.Module):
         s0 = hp["img_sz"] // 2 ** n_levels  # 1 unless n_conv_layers is set
         x = nn.Dense(ch0 * s0 * s0, dtype=self.dtype)(e.astype(self.dtype))
         x = x.reshape(x.shape[:-1] + (s0, s0, ch0))
-        norm = _norm(hp, self.dtype)
+        norm_act = _norm_act(hp, self.dtype)
         for i in reversed(range(n_levels)):
             if (
                 hp.get("use_skips", True)
@@ -131,8 +166,7 @@ class ConvDecoder(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
             ch = min(hp["ngf"] * 2 ** max(i - 1, 0), 256) if i > 0 else hp["ngf"]
             x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME", dtype=self.dtype)(x)
-            x = norm(ch)(x)
-            x = nn.leaky_relu(x, 0.2)
+            x = norm_act(ch)(x)
         out_ch = self.out_channels or hp["input_nc"]
         x = nn.Conv(out_ch, (3, 3), padding="SAME", dtype=self.dtype)(x)
         if self.tanh_out:
