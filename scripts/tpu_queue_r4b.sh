@@ -59,12 +59,12 @@ if [ ! -d "$GCP_DATA_DIR/nav_9rooms/start_goal_configs/raw" ]; then
 fi
 
 # --- 2./3. reference-data-scale 9-room tree ----------------------------
-# 76 epochs (not the originally queued 100): at the measured 3.2 min/epoch the
-# extra 24 epochs would push top-of-100 + control past the round boundary, and
+# 70 epochs (not the originally queued 100): at the measured 3.2 min/epoch the
+# extra 30 epochs would push top-of-100 + control past the round boundary, and
 # the round-3 ep74-vs-ep199 ablation showed epoch count is not the binding
-# constraint. 76 epochs on 12k trajs ~= 6x the gradient steps of the round-3
+# constraint. 70 epochs on 12k trajs ~= 5.6x the gradient steps of the round-3
 # 2k-trajectory runs.
-train_then_eval 9room/gcp_tree_12k 76 2400 1800
+train_then_eval 9room/gcp_tree_12k 70 2400 1800
 
 # --- 3b. fused-GN A/B on the bench rollout (short; committed artifact) --
 if [ ! -f experiments/profiles/fused_gn_ab.json ]; then
