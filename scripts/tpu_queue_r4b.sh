@@ -75,7 +75,9 @@ fi
 
 # --- 4. 20-task control with the 12k checkpoint ------------------------
 CTRL=experiments/control/9room/gcp_tree_12k/log
-if [ ! -f "$CTRL/scores_0to19.pkl" ]; then
+# gate on the LAST task pkl: scores_*.pkl is written incrementally after
+# every task, so its existence does not mean the range completed
+if [ ! -f "$CTRL/task_19.pkl" ]; then
     stage "20-task control benchmark (12k checkpoint)"
     $R "$CTRL" 1800 10 python -m $RUN \
         experiments/control/9room/gcp_tree_12k/mod_hyper.py \
@@ -87,7 +89,7 @@ fi
 # --- 8 (moved up). 100-task control protocol ----------------------------
 # Per-task resumable, so it degrades gracefully at the round boundary; the
 # multi-hour T=500 / 25-room training stages below would not.
-if [ ! -f "$CTRL/scores_0to99.pkl" ]; then
+if [ ! -f "$CTRL/task_99.pkl" ]; then
     stage "extend control to 100 tasks (per-task resumable)"
     $R "$CTRL" 1800 30 python -m $RUN \
         experiments/control/9room/gcp_tree_12k/mod_hyper.py \
