@@ -27,8 +27,9 @@ RUN=video_gcp_tpu.planning.run
 
 stage() { echo "[queue4b $(date +%H:%M:%S)] $*" >&2; }
 
-train_then_eval() { # <exp_subpath> <num_epochs> <train_stall> <eval_stall>
+train_then_eval() { # <exp_subpath> <num_epochs> <train_stall> <eval_stall> [extra eval flags...]
     local exp=$1 epochs=$2 tstall=$3 estall=$4
+    shift 4
     local dir=$GCP_EXP_DIR/prediction/$exp
     if [ ! -d "$dir/weights/weights_ep$((epochs - 1))" ]; then
         stage "$exp: training to $epochs epochs"
@@ -38,7 +39,7 @@ train_then_eval() { # <exp_subpath> <num_epochs> <train_stall> <eval_stall>
     if ! ls "$dir"/metrics/results_*.txt >/dev/null 2>&1; then
         stage "$exp: top-of-100 eval"
         $R "$dir/metrics" "$estall" 4 python -m $T \
-            --path "experiments/prediction/$exp" --metric 1
+            --path "experiments/prediction/$exp" --metric 1 "$@"
     fi
     # commit-able evidence: metrics + scalar trace live in-repo, next to the
     # experiment config (round-3 /root/exp artifacts died with the VM)
@@ -64,6 +65,7 @@ fi
 # the round-3 ep74-vs-ep199 ablation showed epoch count is not the binding
 # constraint. 70 epochs on 12k trajs ~= 5.6x the gradient steps of the round-3
 # 2k-trajectory runs.
+# published split frac (val=0.006) gives ~72 val trajs at 12k: eval ~5-8 min
 train_then_eval 9room/gcp_tree_12k 70 2400 1800
 
 # --- 3b. fused-GN A/B on the bench rollout (short; committed artifact) --
