@@ -66,7 +66,7 @@ fi
 # constraint. 70 epochs on 12k trajs ~= 5.6x the gradient steps of the round-3
 # 2k-trajectory runs.
 # published split frac (val=0.006) gives ~72 val trajs at 12k: eval ~5-8 min
-train_then_eval 9room/gcp_tree_12k 70 2400 1800
+train_then_eval 9room/gcp_tree_12k 67 2400 1800
 
 # --- 3b. fused-GN A/B on the bench rollout (short; committed artifact) --
 if [ ! -f experiments/profiles/fused_gn_ab.json ]; then
