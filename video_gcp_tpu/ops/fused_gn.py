@@ -117,9 +117,11 @@ def _gn_lrelu_kernel(x_ref, scale_ref, bias_ref, gmap_ref, out_ref, *,
     rstd_l = jax.lax.dot_general(rstd, gmap, dims,
                                  preferred_element_type=jnp.float32)
     mul = rstd_l * scale_ref[:]  # [BN, WC]
-    y = (x - mean_l[:, None, :]) * mul[:, None, :] + bias_ref[:][None, :, :]
-    y = y.astype(out_ref.dtype)
-    out_ref[:] = jnp.where(y >= 0, y, slope * y)
+    y32 = (x - mean_l[:, None, :]) * mul[:, None, :] + bias_ref[:][None, :, :]
+    y = y32.astype(out_ref.dtype)
+    # compare in f32: Mosaic (v5e) rejects bf16 vector cmpf ("Target does not
+    # support this comparison"); sign(y32) == sign(y) up to bf16 zero-rounding
+    out_ref[:] = jnp.where(y32 >= 0, y, slope * y)
 
 
 def _pick_block_n(n: int, h: int, wc: int) -> int:
