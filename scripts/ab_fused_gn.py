@@ -30,7 +30,8 @@ def measure():
 
 
 def main():
-    out_path = os.path.join("experiments", "profiles", "fused_gn_ab.json")
+    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        "experiments", "profiles", "fused_gn_ab.json")
     os.environ["GCP_FUSED_GN"] = "0"
     t0 = time.time()
     stock_fps, stock_img = measure()

@@ -69,9 +69,13 @@ fi
 train_then_eval 9room/gcp_tree_12k 67 2400 1800
 
 # --- 3b. fused-GN A/B on the bench rollout (short; committed artifact) --
-if [ ! -f experiments/profiles/fused_gn_ab.json ]; then
-    stage "fused GroupNorm A/B bench"
+# round-4's fused_gn_ab.json carries a contention caveat (stock half ran a
+# minute after a control job released the chip); regenerate a clean one on a
+# quiet chip
+if [ ! -f experiments/profiles/fused_gn_ab_clean.json ]; then
+    stage "fused GroupNorm A/B bench (clean)"
     timeout 1200 python scripts/ab_fused_gn.py \
+        experiments/profiles/fused_gn_ab_clean.json \
         || stage "fused GN A/B failed (non-fatal)"
 fi
 
