@@ -97,7 +97,16 @@ def bench_cem_rollouts(n_candidates: int = 100, levels: int = 7) -> float:
 def bench_train_step(batch_size: int = 16, levels: int = 7,
                      seq_len: int = 100, img_sz: int = 64) -> float:
     """Training frames/sec/chip at the published 9-room scale: full
-    loss+grad+NaN-masked-update step (balanced matching), scan-amortized."""
+    loss+grad+NaN-masked-update step (balanced matching), scan-amortized.
+
+    Traced with the stock GroupNorm lowering regardless of the fused-GN
+    probe: the fused kernel's custom_vjp backward recomputes the reference
+    forward (a deliberate fwd-inference trade, ops/fused_gn.py), so fusing
+    here would misstate training throughput. Trainers likewise default to
+    stock unless GCP_FUSED_GN is set explicitly."""
+    import os
+
+    os.environ["GCP_FUSED_GN"] = "0"
     import optax
 
     from video_gcp_tpu.core.attrdict import AttrDict
