@@ -99,14 +99,9 @@ def bench_train_step(batch_size: int = 16, levels: int = 7,
     """Training frames/sec/chip at the published 9-room scale: full
     loss+grad+NaN-masked-update step (balanced matching), scan-amortized.
 
-    Traced with the stock GroupNorm lowering regardless of the fused-GN
-    probe: the fused kernel's custom_vjp backward recomputes the reference
-    forward (a deliberate fwd-inference trade, ops/fused_gn.py), so fusing
-    here would misstate training throughput. Trainers likewise default to
-    stock unless GCP_FUSED_GN is set explicitly."""
-    import os
-
-    os.environ["GCP_FUSED_GN"] = "0"
+    Uses the fused GroupNorm path when `_try_enable_fused_gn`'s probe (which
+    exercises forward AND backward — the Pallas bwd kernel, ops/fused_gn.py)
+    passed on this backend; otherwise the stock XLA lowering."""
     import optax
 
     from video_gcp_tpu.core.attrdict import AttrDict
@@ -179,6 +174,25 @@ def _try_enable_fused_gn() -> bool:
         ref = gn_lrelu_reference(x, sc, bi, 8)
         ok = bool(jnp.max(jnp.abs(out.astype(jnp.float32) -
                                   ref.astype(jnp.float32))) < 0.05)
+        # the train-step metric also runs fused, so probe the Pallas
+        # backward kernel before committing to it
+        if ok:
+            def _loss(f):
+                def loss(xx, ss, bb):
+                    return jnp.sum(f(xx, ss, bb).astype(jnp.float32) ** 2)
+                return jax.grad(loss, argnums=(0, 1, 2))
+
+            gf = _loss(lambda a, b, c: fused_group_norm_lrelu(a, b, c, 8))(
+                x, sc, bi)
+            gr = _loss(lambda a, b, c: gn_lrelu_reference(a, b, c, 8))(
+                x, sc, bi)
+            jax.block_until_ready(gf)
+            ok = all(
+                bool(jnp.max(jnp.abs(a.astype(jnp.float32) -
+                                     b.astype(jnp.float32))) <
+                     0.05 * max(1.0, float(jnp.max(jnp.abs(
+                         b.astype(jnp.float32))))))
+                for a, b in zip(gf, gr))
     except Exception:
         ok = False
     os.environ["GCP_FUSED_GN"] = "1" if ok else "0"

@@ -18,9 +18,12 @@ against a static 0/1 lane->group matrix — no gathers, no relayouts.
 Numerics follow flax.linen.GroupNorm (normalization.py _compute_stats /
 _normalize): float32 stats, fast variance E[x^2]-E[x]^2 clipped at zero,
 y = (x - mean) * rsqrt(var + eps) * scale + bias, cast to the compute dtype,
-then leaky_relu. The backward pass is the jax.vjp of the pure-jnp reference
-below, so gradients are exact (reference path) while the forward saves the
-pass; use in `jax.grad` contexts is supported via custom_vjp.
+then leaky_relu. The backward pass is a second single-pass Pallas kernel
+(read x and dy once, write dx once, per-block dscale/dbias partials) using
+the standard GroupNorm backward with mean/rstd recomputed in VMEM — vs the
+jax.vjp-of-reference fallback (GCP_FUSED_GN_BWD=ref) which re-runs the
+forward and costs ~2 extra full-tensor HBM transits. Training with
+GCP_FUSED_GN=1 therefore saves bandwidth in both directions.
 
 Reference parity: the reference applies torch GroupNorm+LeakyReLU per conv
 block (blox.torch encoder/decoder pyramids, gcp/prediction/base_gcp.py:78-79);
@@ -124,13 +127,124 @@ def _gn_lrelu_kernel(x_ref, scale_ref, bias_ref, gmap_ref, out_ref, *,
     out_ref[:] = jnp.where(y32 >= 0, y, slope * y)
 
 
-def _pick_block_n(n: int, h: int, wc: int) -> int:
-    """Samples per grid program: ~2 MB of f32 per block, multiple of 8."""
-    bn = max(1, _BLOCK_BYTES_F32 // (h * wc * 4))
+def _pick_block_n(n: int, h: int, wc: int,
+                  target_bytes: int = _BLOCK_BYTES_F32) -> int:
+    """Samples per grid program: ~target_bytes of f32 per block-tensor,
+    multiple of 8."""
+    bn = max(1, target_bytes // (h * wc * 4))
     bn = min(bn, n, 128)
     if bn >= 8:
         bn -= bn % 8
     return bn
+
+
+def _gn_lrelu_bwd_kernel(x_ref, g_ref, scale_ref, bias_ref, gmap_ref,
+                         dx_ref, dsc_ref, dbi_ref, *, n, m, eps, slope):
+    """One block of samples: single-pass GN+LeakyReLU backward in VMEM.
+
+    Recomputes mean/rstd from x (cheap in VMEM — avoids an HBM residual),
+    then applies the standard GroupNorm backward
+        dx = rstd * (dx̂ − Σg dx̂ / m − x̂ · Σg(dx̂·x̂) / m)
+    with the group sums as the same lane->group MXU contractions the forward
+    uses. Per-block dscale/dbias partials land in [1, WC] rows summed by the
+    host-side wrapper. Rows past the real sample count `n` (ragged grid tail)
+    are zero-masked at the inputs so they cannot poison the parameter sums.
+    The formula treats the fast-variance zero-clip as inactive; when the clip
+    does bind (exactly constant inputs) x̂ ≡ 0 and the affected term vanishes.
+    """
+    bn = x_ref.shape[0]
+    row = pl.program_id(0) * bn + jax.lax.broadcasted_iota(
+        jnp.int32, (bn, 1, 1), 0)
+    valid = row < n
+    x = jnp.where(valid, x_ref[:].astype(jnp.float32), 0.0)
+    g = jnp.where(valid, g_ref[:].astype(jnp.float32), 0.0)
+    gmap = gmap_ref[:]
+    colsum = jnp.sum(x, axis=1)
+    colsq = jnp.sum(x * x, axis=1)
+    gsum = jnp.dot(colsum, gmap, preferred_element_type=jnp.float32)
+    gsq = jnp.dot(colsq, gmap, preferred_element_type=jnp.float32)
+    mean = gsum / m
+    var = jnp.maximum(gsq / m - mean * mean, 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    dims = (((1,), (1,)), ((), ()))
+    mean_l = jax.lax.dot_general(mean, gmap, dims,
+                                 preferred_element_type=jnp.float32)
+    rstd_l = jax.lax.dot_general(rstd, gmap, dims,
+                                 preferred_element_type=jnp.float32)
+    xc = x - mean_l[:, None, :]
+    xhat = xc * rstd_l[:, None, :]
+    # activation mask from the same f32 pre-activation the forward compared
+    mul = rstd_l * scale_ref[:]
+    y_pre = xc * mul[:, None, :] + bias_ref[:][None, :, :]
+    dyp = jnp.where(y_pre >= 0, g, slope * g)
+    dxhat = dyp * scale_ref[:][None, :, :]
+    cs1 = jnp.sum(dxhat, axis=1)  # [BN, WC]
+    cs2 = jnp.sum(dxhat * xhat, axis=1)
+    s1 = jnp.dot(cs1, gmap, preferred_element_type=jnp.float32)  # [BN, G]
+    s2 = jnp.dot(cs2, gmap, preferred_element_type=jnp.float32)
+    s1_l = jax.lax.dot_general(s1, gmap, dims,
+                               preferred_element_type=jnp.float32)
+    s2_l = jax.lax.dot_general(s2, gmap, dims,
+                               preferred_element_type=jnp.float32)
+    dx = rstd_l[:, None, :] * (
+        dxhat - s1_l[:, None, :] / m - xhat * (s2_l[:, None, :] / m))
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+    dsc_ref[:] = jnp.sum(dyp * xhat, axis=(0, 1))[None, :]
+    dbi_ref[:] = jnp.sum(dyp, axis=(0, 1))[None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "slope", "interpret"))
+def _gn_lrelu_bwd_pallas(x: Array, g: Array, scale: Array, bias: Array,
+                         num_groups: int, eps: float, slope: float,
+                         interpret: bool):
+    """Pallas backward: read x and dy once, write dx once (3 HBM transits vs
+    the reference-vjp recompute's ~5). Returns (dx, dscale, dbias) with the
+    primal dtypes, as custom_vjp requires."""
+    orig_shape = x.shape
+    h, w, c = orig_shape[-3:]
+    wc = w * c
+    n = int(np.prod(orig_shape[:-3], dtype=np.int64))
+    x3 = x.reshape(n, h, wc)
+    g3 = g.reshape(n, h, wc)
+    scale_l = jnp.tile(scale.astype(jnp.float32), w)[None, :]
+    bias_l = jnp.tile(bias.astype(jnp.float32), w)[None, :]
+    gmap = _lane_tables(w, c, num_groups)
+    # backward keeps ~6 block-sized f32 temporaries live; halve the block
+    bn = _pick_block_n(n, h, wc, _BLOCK_BYTES_F32 // 2)
+    nblocks = pl.cdiv(n, bn)
+    m = h * w * (c // num_groups)
+    kernel = functools.partial(_gn_lrelu_bwd_kernel, n=n, m=m, eps=eps,
+                               slope=slope)
+    dx3, dsc_p, dbi_p = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((bn, h, wc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, h, wc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wc, num_groups), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bn, h, wc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, h, wc), x.dtype),
+            jax.ShapeDtypeStruct((nblocks, wc), jnp.float32),
+            jax.ShapeDtypeStruct((nblocks, wc), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x3, g3, scale_l, bias_l, gmap)
+    dscale = dsc_p.sum(0).reshape(w, c).sum(0).astype(scale.dtype)
+    dbias = dbi_p.sum(0).reshape(w, c).sum(0).astype(bias.dtype)
+    return dx3.reshape(orig_shape), dscale, dbias
 
 
 @functools.lru_cache(maxsize=None)
@@ -180,7 +294,10 @@ def _gn_lrelu_pallas(x: Array, scale: Array, bias: Array, num_groups: int,
 
 @functools.lru_cache(maxsize=None)
 def _make_fused(num_groups: int, eps: float, slope: float, interpret: bool):
-    """custom_vjp wrapper: Pallas forward, reference-vjp backward."""
+    """custom_vjp wrapper: Pallas forward, Pallas backward (set
+    GCP_FUSED_GN_BWD=ref to fall back to the jax.vjp of the jnp reference,
+    which recomputes the forward and costs ~2 extra HBM transits)."""
+    import os
 
     @jax.custom_vjp
     def fused(x, scale, bias):
@@ -191,7 +308,12 @@ def _make_fused(num_groups: int, eps: float, slope: float, interpret: bool):
         return fused(x, scale, bias), (x, scale, bias)
 
     def bwd(res, g):
+        # read at trace time, not cache-key time: _make_fused is lru_cached
+        ref_bwd = os.environ.get("GCP_FUSED_GN_BWD", "pallas") == "ref"
         x, scale, bias = res
+        if not ref_bwd:
+            return _gn_lrelu_bwd_pallas(x, g, scale, bias, num_groups, eps,
+                                        slope, interpret)
         _, vjp = jax.vjp(
             lambda xx, ss, bb: gn_lrelu_reference(
                 xx, ss, bb, num_groups, eps, slope), x, scale, bias)
