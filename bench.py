@@ -13,6 +13,7 @@ driver); bfloat16 compute, float32 params.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -156,8 +157,6 @@ def _try_enable_fused_gn() -> bool:
     when a probe compiles and matches the stock path on this backend; any
     failure leaves the stock XLA lowering so the primary metric always lands.
     An explicit GCP_FUSED_GN in the environment wins either way."""
-    import os
-
     if "GCP_FUSED_GN" in os.environ:
         return os.environ["GCP_FUSED_GN"] == "1"
     try:
@@ -250,9 +249,26 @@ def main():
     secondary = {}
     try:
         secondary["cem_rollouts_per_sec"] = round(bench_cem_rollouts(), 1)
-        secondary["train_frames_per_sec"] = round(bench_train_step(), 1)
     except Exception as e:  # never break the primary metric line
         secondary["error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        secondary["train_frames_per_sec"] = round(bench_train_step(), 1)
+        secondary["train_fused_gn"] = os.environ.get("GCP_FUSED_GN") == "1"
+    except Exception as e:
+        # the probe runs tiny shapes; if the fused backward trips on the
+        # real train-step shapes, re-measure with the stock lowering
+        if fused_gn:
+            try:
+                os.environ["GCP_FUSED_GN"] = "0"
+                secondary["train_frames_per_sec"] = round(
+                    bench_train_step(), 1)
+                secondary["train_fused_gn"] = False
+            except Exception as e2:
+                secondary["train_error"] = f"{type(e2).__name__}: {e2}"[:200]
+            finally:
+                os.environ["GCP_FUSED_GN"] = "1"
+        else:
+            secondary["train_error"] = f"{type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": "predicted 64x64 frames/sec/chip (500-step tree rollout)",
