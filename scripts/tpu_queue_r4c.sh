@@ -1,27 +1,33 @@
 #!/usr/bin/env bash
-# Round-4 queue, part 2 — the post-12k-training stages of tpu_queue_r4b.sh,
-# for when the 100-epoch 12k training is cut short for time: run the eval +
-# control + comparison stages against the LATEST tree_12k checkpoint instead
-# of waiting for weights_ep99. All stages idempotent/resumable; safe to
-# re-run. Usage: stop the r4b queue (and its training child), then
-#   bash scripts/tpu_queue_r4c.sh
+# Round-4 queue, part c: the stages remaining after tpu_queue_r4b.sh's
+# tree-vs-sequential block, relaunched so the 25-room flagship trains with
+# the fused GroupNorm Pallas pass (GCP_FUSED_GN=1 — hardware-validated by
+# experiments/profiles/fused_gn_train_ab.json before this queue starts).
+# Evals run with the stock lowering so metric numbers stay attributable to
+# the same math as every earlier committed table (checkpoints are
+# key-compatible either way, ops/fused_gn.py).
 set -uo pipefail
 export GCP_DATA_DIR=${GCP_DATA_DIR:-/root/data}
 export GCP_EXP_DIR=${GCP_EXP_DIR:-/root/exp}
 cd "$(dirname "$0")/.."
 R=scripts/run_resilient.sh
 T=video_gcp_tpu.training.train
-RUN=video_gcp_tpu.planning.run
 
 stage() { echo "[queue4c $(date +%H:%M:%S)] $*" >&2; }
 
-eval_and_archive() { # <exp_subpath> <eval_stall>
-    local exp=$1 estall=$2
+train_then_eval() { # <exp_subpath> <num_epochs> <train_stall> <eval_stall> <fused01> [extra eval flags...]
+    local exp=$1 epochs=$2 tstall=$3 estall=$4 fused=$5
+    shift 5
     local dir=$GCP_EXP_DIR/prediction/$exp
+    if [ ! -d "$dir/weights/weights_ep$((epochs - 1))" ]; then
+        stage "$exp: training to $epochs epochs (fused_gn=$fused)"
+        GCP_FUSED_GN=$fused $R "$dir/weights" "$tstall" 20 python -m $T \
+            --path "experiments/prediction/$exp" --num_epochs "$epochs"
+    fi
     if ! ls "$dir"/metrics/results_*.txt >/dev/null 2>&1; then
-        stage "$exp: top-of-100 eval (latest checkpoint)"
-        $R "$dir/metrics" "$estall" 4 python -m $T \
-            --path "experiments/prediction/$exp" --metric 1
+        stage "$exp: top-of-100 eval (stock lowering)"
+        GCP_FUSED_GN=0 $R "$dir/metrics" "$estall" 4 python -m $T \
+            --path "experiments/prediction/$exp" --metric 1 "$@"
     fi
     if ls "$dir"/metrics/results_*.txt >/dev/null 2>&1; then
         mkdir -p "experiments/prediction/$exp/results"
@@ -32,50 +38,25 @@ eval_and_archive() { # <exp_subpath> <eval_stall>
     fi
 }
 
-train_then_eval() { # <exp_subpath> <num_epochs> <train_stall> <eval_stall>
-    local exp=$1 epochs=$2 tstall=$3 estall=$4
-    local dir=$GCP_EXP_DIR/prediction/$exp
-    if [ ! -d "$dir/weights/weights_ep$((epochs - 1))" ]; then
-        stage "$exp: training to $epochs epochs"
-        $R "$dir/weights" "$tstall" 20 python -m $T \
-            --path "experiments/prediction/$exp" --num_epochs "$epochs"
-    fi
-    eval_and_archive "$exp" "$estall"
-}
+# --- 6-finish. tree@500: driver_watch killed the r4b run at ep22 (the
+# orphaned eval scored the ep22 checkpoint: PSNR 13.79, already above
+# sequential@30ep's 12.41); finish the last 8 epochs + re-eval for the
+# clean identical-budget row. Stock lowering, same as the sequential half.
+train_then_eval 25room_long/gcp_tree 30 2400 2400 0
 
-# --- 1. eval the 12k tree at whatever epoch it reached ------------------
-eval_and_archive 9room/gcp_tree_12k 1800
-
-# --- 2. 20-task control with the 12k checkpoint -------------------------
-CTRL=experiments/control/9room/gcp_tree_12k/log
-if [ ! -f "$CTRL/scores_0to19.pkl" ]; then
-    stage "20-task control benchmark (12k checkpoint)"
-    $R "$CTRL" 1800 10 python -m $RUN \
-        experiments/control/9room/gcp_tree_12k/mod_hyper.py \
-        --start_idx 0 --end_idx 19
-    python -m video_gcp_tpu.evaluation.compute_control_perf \
-        --path "$CTRL/scores_0to19.pkl" || stage "compute_control_perf failed"
+# --- 7. 25-room flagship (fused-GN training) ----------------------------
+if [ -f "$GCP_DATA_DIR/nav_25rooms/traj_999.h5" ]; then
+    train_then_eval 25room/gcp_tree 75 2400 2400 1
+else
+    stage "SKIP 25room flagship: datagen incomplete"
 fi
 
-# --- 3./4. controlled tree-vs-sequential at T=500 ------------------------
-train_then_eval 25room_long/gcp_sequential 30 2400 2400
-train_then_eval 25room_long/gcp_tree 30 2400 2400
+# --- 9. decoder-controlled adaptive ablation ----------------------------
+# stock lowering: this run's only job is to isolate the decoder family vs
+# the round-3 adaptive run, which trained stock — don't add a second delta
+train_then_eval 9room/gcp_adaptive_dlm 75 2400 1800 0
 
-# --- 5. 25-room flagship -------------------------------------------------
-train_then_eval 25room/gcp_tree 75 2400 2400
-
-# --- 6. 100-task control protocol (per-task resumable; partial OK) -------
-if [ ! -f "$CTRL/scores_0to99.pkl" ]; then
-    stage "extend control to 100 tasks"
-    $R "$CTRL" 1800 30 python -m $RUN \
-        experiments/control/9room/gcp_tree_12k/mod_hyper.py \
-        --start_idx 0 --end_idx 99
-    python -m video_gcp_tpu.evaluation.compute_control_perf \
-        --path "$CTRL/scores_0to99.pkl" \
-        || stage "compute_control_perf failed for 0to99"
-fi
-
-# --- 7. decoder-controlled adaptive ablation ------------------------------
-train_then_eval 9room/gcp_adaptive_dlm 75 2400 1800
+# --- 10. adaptive at data scale (stretch) -------------------------------
+train_then_eval 9room/gcp_adaptive_12k 100 2400 1800 1
 
 stage "queue4c complete"
