@@ -146,9 +146,12 @@ def _gn_lrelu_bwd_kernel(x_ref, g_ref, scale_ref, bias_ref, gmap_ref,
     then applies the standard GroupNorm backward
         dx = rstd * (dx̂ − Σg dx̂ / m − x̂ · Σg(dx̂·x̂) / m)
     with the group sums as the same lane->group MXU contractions the forward
-    uses. Per-block dscale/dbias partials land in [1, WC] rows summed by the
-    host-side wrapper. Rows past the real sample count `n` (ragged grid tail)
-    are zero-masked at the inputs so they cannot poison the parameter sums.
+    uses. dscale/dbias accumulate into one revisited [8, WC] VMEM block
+    across the (sequential) grid — zero-initialized at program 0 — because
+    Mosaic requires output block sublanes divisible by 8, so per-block [1, WC]
+    partial rows are not lowerable (v5e rejects them). Rows past the real
+    sample count `n` (ragged grid tail) are zero-masked at the inputs so they
+    cannot poison the parameter sums.
     The formula treats the fast-variance zero-clip as inactive; when the clip
     does bind (exactly constant inputs) x̂ ≡ 0 and the affected term vanishes.
     """
@@ -189,8 +192,14 @@ def _gn_lrelu_bwd_kernel(x_ref, g_ref, scale_ref, bias_ref, gmap_ref,
     dx = rstd_l[:, None, :] * (
         dxhat - s1_l[:, None, :] / m - xhat * (s2_l[:, None, :] / m))
     dx_ref[:] = dx.astype(dx_ref.dtype)
-    dsc_ref[:] = jnp.sum(dyp * xhat, axis=(0, 1))[None, :]
-    dbi_ref[:] = jnp.sum(dyp, axis=(0, 1))[None, :]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dsc_ref[:] = jnp.zeros_like(dsc_ref)
+        dbi_ref[:] = jnp.zeros_like(dbi_ref)
+
+    dsc_ref[:] += jnp.sum(dyp * xhat, axis=(0, 1))[None, :]
+    dbi_ref[:] += jnp.sum(dyp, axis=(0, 1))[None, :]
 
 
 @functools.partial(
@@ -232,18 +241,18 @@ def _gn_lrelu_bwd_pallas(x: Array, g: Array, scale: Array, bias: Array,
         out_specs=[
             pl.BlockSpec((bn, h, wc), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, wc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, wc), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, h, wc), x.dtype),
-            jax.ShapeDtypeStruct((nblocks, wc), jnp.float32),
-            jax.ShapeDtypeStruct((nblocks, wc), jnp.float32),
+            jax.ShapeDtypeStruct((8, wc), jnp.float32),
+            jax.ShapeDtypeStruct((8, wc), jnp.float32),
         ],
         interpret=interpret,
     )(x3, g3, scale_l, bias_l, gmap)
-    dscale = dsc_p.sum(0).reshape(w, c).sum(0).astype(scale.dtype)
-    dbias = dbi_p.sum(0).reshape(w, c).sum(0).astype(bias.dtype)
+    dscale = dsc_p[0].reshape(w, c).sum(0).astype(scale.dtype)
+    dbias = dbi_p[0].reshape(w, c).sum(0).astype(bias.dtype)
     return dx3.reshape(orig_shape), dscale, dbias
 
 
