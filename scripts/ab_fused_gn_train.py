@@ -63,14 +63,28 @@ def loss_trajectory(n_steps: int = 10):
 def main():
     out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
         "experiments", "profiles", "fused_gn_train_ab.json")
+    # bench.py only enables the persistent compile cache in its own main();
+    # without it every half of the A/B cold-compiles the full train-step scan
+    # through the tunnel (observed: >25 min of silence)
+    from video_gcp_tpu.core.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
     import bench
 
     t0 = time.time()
     os.environ["GCP_FUSED_GN"] = "0"
+    print("[ab] stock bench...", flush=True)
     stock_fps = bench.bench_train_step()
+    print(f"[ab] stock {stock_fps:.0f} f/s ({time.time()-t0:.0f}s); "
+          "stock loss trajectory...", flush=True)
     stock_losses = loss_trajectory()
     os.environ["GCP_FUSED_GN"] = "1"
+    print(f"[ab] fused bench... ({time.time()-t0:.0f}s)", flush=True)
     fused_fps = bench.bench_train_step()
+    print(f"[ab] fused {fused_fps:.0f} f/s ({time.time()-t0:.0f}s); "
+          "fused loss trajectory...", flush=True)
     fused_losses = loss_trajectory()
     max_rel = max(
         abs(a - b) / max(1e-6, abs(a))

@@ -269,3 +269,40 @@ class TestCEMLoopUnits:
         s.fit(z, costs)
         before = np.linalg.norm(np.zeros((40, 2)) - 0.5)
         assert np.linalg.norm(s.get_dists().mean - 0.5) < before
+
+
+class TestProgressAwareTracking:
+    """localize_on_plan: the pure step behind ImageCEMPolicy's
+    tracking_window>0 closed loop (BEYOND REFERENCE, control intervention C;
+    planner_policy._infer_action_localized)."""
+
+    def test_localizes_within_window_and_targets_next(self):
+        from video_gcp_tpu.planning.planner_policy import localize_on_plan
+
+        plan = jnp.asarray(np.linspace(0, 1, 11)[:, None] *
+                           np.ones((1, 4), np.float32))
+        # agent sits at plan position 3; window [0, 5] includes it
+        enc = plan[3] + 1e-3
+        tgt, near = localize_on_plan(enc, plan, jnp.asarray(0), 5)
+        assert int(near) == 3 and int(tgt) == 4
+
+    def test_window_excludes_positions_outside_floor_range(self):
+        from video_gcp_tpu.planning.planner_policy import localize_on_plan
+
+        plan = jnp.asarray(np.linspace(0, 1, 11)[:, None] *
+                           np.ones((1, 4), np.float32))
+        enc = plan[9]  # true nearest is 9, but the window caps at floor+3
+        tgt, near = localize_on_plan(enc, plan, jnp.asarray(2), 3)
+        assert int(near) == 5 and int(tgt) == 6  # clamps to window edge
+        # cannot go backward past the floor either
+        enc0 = plan[0]
+        tgt, near = localize_on_plan(enc0, plan, jnp.asarray(4), 3)
+        assert int(near) == 4 and int(tgt) == 5
+
+    def test_target_clamps_at_plan_end(self):
+        from video_gcp_tpu.planning.planner_policy import localize_on_plan
+
+        plan = jnp.asarray(np.random.RandomState(0)
+                           .randn(6, 3).astype(np.float32))
+        tgt, near = localize_on_plan(plan[5], plan, jnp.asarray(3), 5)
+        assert int(near) == 5 and int(tgt) == 5

@@ -21,7 +21,7 @@ matrix).
 
 Numerics: the reference runs in float64 (:92). TPUs have no fast f64, so we run
 the log-space DP in float32 and validate against a float64 numpy oracle in
-tests/test_soft_dtw.py. logaddexp chains of length <= N+T (~750 for the largest
+tests/test_ops.py. logaddexp chains of length <= N+T (~750 for the largest
 published config) stay well within f32 range in log space.
 """
 from __future__ import annotations

@@ -26,6 +26,24 @@ from video_gcp_tpu.planning.infra.policy.policy import Policy
 from video_gcp_tpu.training import checkpoint as ckpt_lib
 
 
+def localize_on_plan(enc, plan_flat, floor, window):
+    """Pure localization step for progress-aware tracking: nearest plan index
+    to `enc` within [floor, floor + window], and the waypoint index after it.
+
+    :param enc: current frame encoding, any shape that flattens to [D]
+    :param plan_flat: latent timeline [T, D]
+    :param floor: monotone cursor floor (int scalar)
+    :param window: static int window size
+    :return: (target_idx, nearest_idx) int scalars
+    """
+    t = plan_flat.shape[0]
+    d = jnp.linalg.norm(plan_flat - enc.reshape(1, -1), axis=-1)
+    idx = jnp.arange(t)
+    d = jnp.where((idx >= floor) & (idx <= floor + window), d, jnp.inf)
+    near = jnp.argmin(d)
+    return jnp.minimum(near + 1, t - 1), near
+
+
 class PlannerPolicy(Policy):
     def __init__(self, ag_params, policyparams, gpu_id=None, ngpu=None,
                  conversion_fcns=None, n_rooms=None):
@@ -172,7 +190,19 @@ class ImageCEMPolicy(CEMPolicy):
 
     def _default_hparams(self):
         p = super()._default_hparams()
-        p.update(dict(closed_loop_execution=False, act_cond=False))
+        p.update(dict(closed_loop_execution=False, act_cond=False,
+                      # > 0 enables progress-aware plan tracking (BEYOND
+                      # REFERENCE, control intervention C): instead of
+                      # advancing the plan cursor once per env step — which
+                      # lets the tracked waypoint run away when wall
+                      # collisions stall the agent (round-4 failure analysis,
+                      # PARITY.md: ~97% of commanded motion rejected while
+                      # the cursor marches on) — localize the current frame
+                      # encoding against the plan's latent timeline within
+                      # [floor, floor + window] and track the waypoint AFTER
+                      # the nearest one. The cursor floor is monotone, so the
+                      # plan still executes forward.
+                      tracking_window=0))
         return p
 
     def act(self, t=None, i_tr=None, state=None, images=None, goal_image=None):
@@ -186,9 +216,12 @@ class ImageCEMPolicy(CEMPolicy):
             self._cem_planner(state[None] if np.ndim(state) == 3 else state,
                               goal)
         self.current_exec_step = 0
+        self._cursor_floor = 0
 
     def get_action(self, current_image):
         if self._hp.closed_loop_execution:
+            if self._hp.tracking_window > 0:
+                return self._infer_action_localized(current_image)
             target = self.latent_plan[
                 min(self.current_exec_step + 1, len(self.latent_plan) - 1)
             ]
@@ -223,6 +256,45 @@ class ImageCEMPolicy(CEMPolicy):
 
         return np.asarray(self._infer_action_fn(
             self.params, jnp.asarray(img), jnp.asarray(target_latent)))[0]
+
+    def _infer_action_localized(self, current_img):
+        """Progress-aware closed loop (tracking_window > 0, BEYOND REFERENCE;
+        see _default_hparams): localize the current encoding against the
+        plan's latent timeline within [floor, floor + window], track the
+        waypoint after the nearest one, and advance the monotone cursor floor
+        to the localized position. One jitted call per env step."""
+        img = np.asarray(current_img, np.float32)
+        if img.max() > 1.0:
+            img = img / 255.0
+        img = img * 2.0 - 1.0
+        if img.ndim == 3:
+            img = img[None]
+
+        from video_gcp_tpu.planning.infra.sim.benchmarks import heartbeat
+
+        heartbeat()
+        if not hasattr(self, "_infer_localized_fn"):
+            window = int(self._hp.tracking_window)
+
+            def run(params, img, plan, floor):
+                enc = self.planner.apply(
+                    params, img, method=lambda m, x: m.encoder(x)[0],
+                )
+                flat = plan.reshape(plan.shape[0], -1)
+                tgt, near = localize_on_plan(enc, flat, floor, window)
+                action = self.planner.apply(
+                    params, enc, flat[tgt][None],
+                    method=lambda m, a, b: m.inv_mdl(a, b),
+                )
+                return action, near
+
+            self._infer_localized_fn = jax.jit(run)
+
+        action, near = self._infer_localized_fn(
+            self.params, jnp.asarray(img), jnp.asarray(self.latent_plan),
+            jnp.asarray(self._cursor_floor, jnp.int32))
+        self._cursor_floor = max(self._cursor_floor, int(near))
+        return np.asarray(action)[0]
 
     @property
     def simulator_type(self):
