@@ -119,9 +119,18 @@ control_20() { # <variant> — 20-task control run + score table
     fi
 }
 
+# Fused-GN lowering choice for TRAINING: stock. The two quiet-chip
+# measurements disagree only through batch size — the clean A/B
+# (fused_gn_train_ab_clean.json, bs=8) has fused 1.57x faster, while
+# bench.py's train metric (bs=16, the size every real config trains at)
+# has stock 1.37x faster (65.3k vs 47.5k f/s, logs/bench_smoke_r5.log,
+# consistent with r03 history). Fused throughput is ~47k at BOTH sizes,
+# i.e. the fused backward is batch-bound; at bs=16 stock wins, so real
+# training runs stock. Eval stages were already stock (forward parity).
+
 # --- 1. 25-room flagship (VERDICT ask #1, third round of asking) ---------
 if [ -f "$GCP_DATA_DIR/nav_25rooms/traj_999.h5" ]; then
-    fits 14400 && train_then_eval 25room/gcp_tree 75 2400 2400 1
+    fits 14400 && train_then_eval 25room/gcp_tree 75 2400 2400 0
 else
     stage "SKIP 25room flagship: dataset missing"
 fi
@@ -129,7 +138,7 @@ fi
 # --- 2a. 9room gcp_tree retrain (control baseline; ckpts were wiped) -----
 resume_datagen nav_9rooms 2000
 if [ -f "$GCP_DATA_DIR/nav_9rooms/traj_1999.h5" ]; then
-    fits 9000 && train_then_eval 9room/gcp_tree 75 2400 1800 1
+    fits 9000 && train_then_eval 9room/gcp_tree 75 2400 1800 0
 else
     stage "SKIP 9room gcp_tree: dataset incomplete"
 fi
@@ -166,7 +175,7 @@ fi
 
 # --- 7. T=500 tree full 30-epoch budget (checkpoint was wiped) -----------
 if [ -f "$GCP_DATA_DIR/nav_25rooms_long/traj_399.h5" ]; then
-    fits 10800 && train_then_eval 25room_long/gcp_tree 30 2400 2400 1
+    fits 10800 && train_then_eval 25room_long/gcp_tree 30 2400 2400 0
 else
     stage "SKIP 25room_long tree: dataset incomplete"
 fi
