@@ -174,10 +174,16 @@ if [ -f "$GCP_DATA_DIR/nav_9rooms/traj_1999.h5" ]; then
 fi
 
 # --- 7. T=500 tree full 30-epoch budget (checkpoint was wiped) -----------
-if [ -f "$GCP_DATA_DIR/nav_25rooms_long/traj_399.h5" ]; then
-    fits 10800 && train_then_eval 25room_long/gcp_tree 30 2400 2400 0
-else
-    stage "SKIP 25room_long tree: dataset incomplete"
+# The T=500 dataset is generated lazily HERE (not in the launcher pre-pass):
+# it is only needed by this deadline-gated stage, and pre-generating it would
+# idle the chip ~25 min on the 1-core VM before the flagship could start.
+if fits 12600; then
+    resume_datagen nav_25rooms_long 400
+    if [ -f "$GCP_DATA_DIR/nav_25rooms_long/traj_399.h5" ]; then
+        train_then_eval 25room_long/gcp_tree 30 2400 2400 0
+    else
+        stage "SKIP 25room_long tree: dataset incomplete"
+    fi
 fi
 
 stage "queue5 complete"
