@@ -61,14 +61,22 @@ resume_datagen() { # <dataset> <n_trajs>
     fi
 }
 
-train_then_eval() { # <exp_subpath> <num_epochs> <train_stall> <eval_stall> <fused01> [extra eval flags...]
-    local exp=$1 epochs=$2 tstall=$3 estall=$4 fused=$5
-    shift 5
+train_then_eval() { # <exp_subpath> <num_epochs> <train_budget_s> <train_stall> <eval_stall> <fused01> [extra eval flags...]
+    local exp=$1 epochs=$2 budget=$3 tstall=$4 estall=$5 fused=$6
+    shift 6
     local dir=$GCP_EXP_DIR/prediction/$exp
     if [ ! -d "$dir/weights/weights_ep$((epochs - 1))" ]; then
-        stage "$exp: training to $epochs epochs (fused_gn=$fused)"
+        # wall budget for the TRAIN phase: stop cleanly (rc 0) at the first
+        # epoch boundary past it, so the eval below always gets a checkpoint
+        # and the queue drains instead of being shot mid-train at the deadline
+        local td=$(( $(date +%s) + budget ))
+        if [ "$DEADLINE" != "0" ] && (( td > DEADLINE - estall - 300 )); then
+            td=$(( DEADLINE - estall - 300 ))
+        fi
+        stage "$exp: training to $epochs epochs (fused_gn=$fused, deadline in $(( td - $(date +%s) ))s)"
         GCP_FUSED_GN=$fused $R "$dir/weights" "$tstall" 20 python -m $T \
-            --path "experiments/prediction/$exp" --num_epochs "$epochs"
+            --path "experiments/prediction/$exp" --num_epochs "$epochs" \
+            --train_deadline "$td"
     fi
     # achieved epoch = newest weights_epN on disk (ADVICE r4 #1)
     local achieved=-1 d n
@@ -130,7 +138,7 @@ control_20() { # <variant> — 20-task control run + score table
 
 # --- 1. 25-room flagship (VERDICT ask #1, third round of asking) ---------
 if [ -f "$GCP_DATA_DIR/nav_25rooms/traj_999.h5" ]; then
-    fits 14400 && train_then_eval 25room/gcp_tree 75 2400 2400 0
+    fits 14400 && train_then_eval 25room/gcp_tree 75 10800 2400 2400 0
 else
     stage "SKIP 25room flagship: dataset missing"
 fi
@@ -138,7 +146,7 @@ fi
 # --- 2a. 9room gcp_tree retrain (control baseline; ckpts were wiped) -----
 resume_datagen nav_9rooms 2000
 if [ -f "$GCP_DATA_DIR/nav_9rooms/traj_1999.h5" ]; then
-    fits 9000 && train_then_eval 9room/gcp_tree 75 2400 1800 0
+    fits 9000 && train_then_eval 9room/gcp_tree 75 5400 2400 1800 0
 else
     stage "SKIP 9room gcp_tree: dataset incomplete"
 fi
@@ -170,7 +178,7 @@ fi
 
 # --- 5. adaptive-DLM de-confound (VERDICT ask #5, carried since r3) ------
 if [ -f "$GCP_DATA_DIR/nav_9rooms/traj_1999.h5" ]; then
-    fits 10800 && train_then_eval 9room/gcp_adaptive_dlm 75 2400 1800 0
+    fits 10800 && train_then_eval 9room/gcp_adaptive_dlm 75 5400 2400 1800 0
 fi
 
 # --- 7. T=500 tree full 30-epoch budget (checkpoint was wiped) -----------
@@ -180,7 +188,7 @@ fi
 if fits 12600; then
     resume_datagen nav_25rooms_long 400
     if [ -f "$GCP_DATA_DIR/nav_25rooms_long/traj_399.h5" ]; then
-        train_then_eval 25room_long/gcp_tree 30 2400 2400 0
+        train_then_eval 25room_long/gcp_tree 30 9000 2400 2400 0
     else
         stage "SKIP 25room_long tree: dataset incomplete"
     fi

@@ -29,14 +29,21 @@ gen() { # <dataset> <n>
     fi
 }
 
-# wait for any already-running 9-room datagen to drain (started by hand)
-if [ -f /tmp/datagen9.pid ] && kill -0 "$(cat /tmp/datagen9.pid)" 2>/dev/null; then
-    say "waiting for in-flight nav_9rooms datagen (pid $(cat /tmp/datagen9.pid))"
-    while kill -0 "$(cat /tmp/datagen9.pid)" 2>/dev/null; do sleep 10; done
+# wait for any already-running 9-room datagen to drain (started by hand).
+# ADVICE r4 #2: verify the pid is actually a datagen python before waiting —
+# a recycled pid from an unrelated process must not wedge the queue.
+if [ -f /tmp/datagen9.pid ]; then
+    DPID=$(cat /tmp/datagen9.pid)
+    if grep -qa "video_gcp_tpu.planning.run" "/proc/$DPID/cmdline" 2>/dev/null; then
+        say "waiting for in-flight nav_9rooms datagen (pid $DPID)"
+        while kill -0 "$DPID" 2>/dev/null; do sleep 10; done
+    fi
 fi
 gen nav_9rooms 2000
 gen nav_25rooms 1000
-gen nav_25rooms_long 400
+# nav_25rooms_long (T=500) is NOT pre-generated here: only the last,
+# deadline-gated queue stage needs it, and generating it up front would idle
+# the chip ~25 min on this 1-core VM before the flagship could start.
 if [ ! -d "$GCP_DATA_DIR/nav_9rooms/start_goal_configs/raw" ]; then
     say "start/goal task configs"
     GCP_PLATFORM=cpu python -m "$RUN" \

@@ -81,6 +81,11 @@ def parse_args(argv=None):
                         "protocol is the full top-of-100 eval (--metric 1)")
     p.add_argument("--num_epochs", default=0, type=int,
                    help="override configuration['num_epochs'] when > 0")
+    p.add_argument("--train_deadline", default=0, type=float,
+                   help="absolute wall deadline (epoch seconds); when set, "
+                        "stop cleanly (rc 0) at the first epoch boundary "
+                        "past it — checkpoints land every epoch, so the run "
+                        "stays resumable and eval-able at the achieved epoch")
     return p.parse_args(argv)
 
 
@@ -267,6 +272,11 @@ class ModelTrainer:
             self.val(self.start_epoch)
             return
         for epoch in range(self.start_epoch, self.conf["num_epochs"]):
+            if args.train_deadline and time.time() > args.train_deadline:
+                print(f"train_deadline reached before epoch {epoch} — "
+                      f"stopping cleanly (latest checkpoint: ep{epoch - 1})",
+                      flush=True)
+                break
             self.train_epoch(epoch)
             ckpt.save_checkpoint(self.exp_path, epoch, self.state)
             if not (epoch == 0 and args.skip_first_val):
