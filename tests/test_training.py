@@ -48,6 +48,22 @@ class TestEndToEndTraining:
         )
         assert np.isfinite(float(losses["total"]))
 
+    def test_train_deadline_stops_at_epoch_boundary(self, exp_dir, capsys):
+        """--train_deadline in the past: run() returns cleanly without
+        training any further epoch (the queue relies on the rc-0 stop to
+        drain instead of being killed mid-train)."""
+        from video_gcp_tpu.training import checkpoint as ckpt
+        from video_gcp_tpu.training.trainer import ModelTrainer, parse_args
+
+        conf = os.path.join(REPO, "experiments/prediction/toy_random/gcp_tree")
+        args = parse_args(["--path", conf, "--resume", "none",
+                           "--train_deadline", "1.0"])  # epoch 1970: always past
+        trainer = ModelTrainer(args)
+        trainer.conf["num_epochs"] = 3
+        trainer.run()
+        assert ckpt.get_epochs(trainer.exp_path) == []  # stopped before ep0
+        assert "train_deadline reached" in capsys.readouterr().out
+
 
 NPZ_PATH = os.path.join(
     REPO, "experiments/prediction/9room/gcp_tree/pretrained_ep74.npz")
