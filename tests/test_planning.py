@@ -105,6 +105,33 @@ class TestSimulator:
                                    atol=1e-5)
 
 
+class TestShardedSimulator:
+    def test_mesh_rollout_matches_single_device(self, sim):
+        """SPMD candidate sharding (GCPSimulator mesh arg): candidates split
+        over an 8-device mesh must score bitwise-equivalently to the
+        single-device path, including when the candidate count does not
+        divide the mesh (internal bucket rounds up)."""
+        from video_gcp_tpu.parallel.mesh import make_mesh
+        from video_gcp_tpu.planning.cem.simulator import GCPImageSimulator
+
+        mesh = make_mesh(8)
+        ssim = GCPImageSimulator(
+            sim._model, jax.device_get(sim._params), append_latent=True,
+            mesh=mesh)
+        rng = np.random.RandomState(3)
+        state = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        goal = rng.rand(1, IMG, IMG, 3).astype(np.float32)
+        z = rng.randn(5, 2 ** L - 1, NZ).astype(np.float32)  # 5 % 8 != 0
+        sim._rng = jax.random.PRNGKey(7)
+        ssim._rng = jax.random.PRNGKey(7)
+        ref = sim.rollout(state, goal, z, T)
+        out = ssim.rollout(state, goal, z, T)
+        assert len(out.predictions) == 5
+        assert ssim._pad_bucket % 8 == 0  # padded to a mesh multiple
+        for a, b in zip(ref.predictions, out.predictions):
+            np.testing.assert_allclose(a, b, atol=1e-4)
+
+
 class TestPlanners:
     def test_flat_cem(self, sim):
         rng = np.random.RandomState(0)

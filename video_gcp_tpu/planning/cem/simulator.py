@@ -20,14 +20,35 @@ from video_gcp_tpu.core.attrdict import AttrDict
 
 
 class GCPSimulator:
-    """State-space simulator (flat vector observations)."""
+    """State-space simulator (flat vector observations).
 
-    def __init__(self, model, params, append_latent: bool):
+    :param mesh: optional `jax.sharding.Mesh` with a 'data' axis. When given,
+        CEM candidates are SPMD-sharded over the mesh for the rollout — the
+        TPU-native analogue of the reference's process-level planning
+        parallelism (ControlManager --nworkers / benchmark splits,
+        gcp/infra/run.py): instead of splitting *tasks* across worker
+        processes, one planning step splits its *candidates* across chips and
+        XLA inserts the collectives. Params are replicated; the candidate
+        batch is sharded on its leading axis, so scoring stays bitwise
+        identical to the single-device path.
+    """
+
+    def __init__(self, model, params, append_latent: bool, mesh=None):
         self._model = model
-        # params arrive as host numpy from the checkpoint reader; pin them on
-        # device ONCE — otherwise every jitted call re-uploads the full tree
-        # (tens of MB through the remote-TPU tunnel, minutes per rollout)
-        self._params = jax.device_put(params)
+        self._mesh = mesh
+        if mesh is not None:
+            from video_gcp_tpu.parallel.mesh import batch_sharding, replicated
+
+            self._params = jax.device_put(params, replicated(mesh))
+            self._data_sharding = batch_sharding(mesh)
+            self._data_axis_size = mesh.shape["data"]
+        else:
+            # params arrive as host numpy from the checkpoint reader; pin them
+            # on device ONCE — otherwise every jitted call re-uploads the full
+            # tree (tens of MB through the remote-TPU tunnel, minutes/rollout)
+            self._params = jax.device_put(params)
+            self._data_sharding = None
+            self._data_axis_size = 1
         self._append_latent = append_latent
         self._rng = jax.random.PRNGKey(0)
         # shape bucket: candidate counts vary across CEM stages (per-layer
@@ -72,11 +93,17 @@ class GCPSimulator:
 
         heartbeat()
         b = samples.shape[0]
-        self._pad_bucket = max(self._pad_bucket, b)
+        n = self._data_axis_size
+        # bucket rounds up to a data-axis multiple so the sharded batch
+        # divides the mesh evenly (padding rows are discarded below anyway)
+        self._pad_bucket = -(-max(self._pad_bucket, b) // n) * n
         if b < self._pad_bucket:
             samples = np.concatenate(
                 [samples, np.repeat(samples[-1:], self._pad_bucket - b, 0)], 0)
         inputs = self._prep_inputs(state, goal_state, samples, rollout_len)
+        if self._data_sharding is not None:
+            inputs = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, self._data_sharding), inputs)
         self._rng, rng = jax.random.split(self._rng)
         out = jax.device_get(self._run(self._params, inputs, rng))
 

@@ -140,15 +140,31 @@ class CEMPolicy(PlannerPolicy):
         super().__init__(*args, **kwargs)
         cem_params = dict(self._hp.cem_params)
         cem_params.setdefault("max_seq_len", self.planner_hp["max_seq_len"])
+        mesh = None
+        if self._hp.planning_mesh_devices:
+            # SPMD candidate sharding (see GCPSimulator docstring): the
+            # TPU-native replacement for the reference's --nworkers process
+            # pool. Uses at most the requested device count.
+            import jax as _jax
+
+            from video_gcp_tpu.parallel.mesh import make_mesh
+
+            n = min(int(self._hp.planning_mesh_devices), len(_jax.devices()))
+            if n > 1:
+                mesh = make_mesh(n)
         self._cem_simulator = self.simulator_type(
-            self.planner, self.params, append_latent=True
+            self.planner, self.params, append_latent=True, mesh=mesh
         )
         planner_cls = self._hp.cem_planner or self.planner_type
         self._cem_planner = planner_cls(cem_params, self._cem_simulator)
 
     def _default_hparams(self):
         p = super()._default_hparams()
-        p.update(dict(cem_planner=None, cem_params={}))
+        p.update(dict(cem_planner=None, cem_params={},
+                      # >1: shard CEM candidates over a device mesh of (up
+                      # to) this many chips for each rollout (SPMD planning;
+                      # TPU-native analogue of run.py --nworkers)
+                      planning_mesh_devices=0))
         return p
 
     def act(self, t=None, i_tr=None, state=None, goal=None,
