@@ -65,6 +65,36 @@ class TestEndToEndTraining:
         assert "train_deadline reached" in capsys.readouterr().out
 
 
+class TestDataLoader:
+    class _ToyDS:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.float32)}
+
+    def test_serial_and_pool_paths_equivalent(self):
+        """num_workers clamps to the host core count (GIL: threaded example
+        assembly loses on few-core boxes); serial and pooled producers must
+        yield identical batch streams."""
+        from video_gcp_tpu.data.loader import DataLoader
+
+        def collect(workers):
+            dl = DataLoader(self._ToyDS(), batch_size=4, shuffle=True,
+                            num_workers=workers, seed=3, n_repeat=2,
+                            drop_last=True)
+            return [np.asarray(b["x"]) for b in dl]
+
+        a = collect(1)
+        dl4 = DataLoader(self._ToyDS(), batch_size=4, num_workers=4, seed=3,
+                         n_repeat=2)
+        assert dl4.num_workers >= 1  # clamped, never zero
+        b = [np.asarray(x["x"]) for x in dl4]
+        assert len(a) == len(b) == len(dl4) == 5  # 10*2 // 4
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
 NPZ_PATH = os.path.join(
     REPO, "experiments/prediction/9room/gcp_tree/pretrained_ep74.npz")
 CONF_9ROOM = os.path.join(REPO, "experiments/prediction/9room/gcp_tree")

@@ -34,12 +34,17 @@ class DataLoader:
                  num_workers: int = 4, seed: int = 0,
                  sharding: Optional[jax.sharding.Sharding] = None,
                  prefetch: int = 2):
+        import os
+
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.n_repeat = n_repeat
         self.drop_last = drop_last
-        self.num_workers = num_workers
+        # clamp to the host core count: on a 1-core box the pool's threads
+        # only fight the GIL (example assembly is numpy/gzip CPU work) —
+        # measured 93 ms/batch with 4 threads vs 25 ms serial on warm cache
+        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         self.seed = seed
         self.sharding = sharding
         self.prefetch = prefetch
@@ -82,19 +87,26 @@ class DataLoader:
 
         def producer():
             try:
-                with concurrent.futures.ThreadPoolExecutor(
-                    self.num_workers
-                ) as pool:
+                import contextlib
+
+                pool_cm = (
+                    concurrent.futures.ThreadPoolExecutor(self.num_workers)
+                    if self.num_workers > 1 else contextlib.nullcontext()
+                )
+                with pool_cm as pool:
+                    fetch = (
+                        (lambda idx: list(
+                            pool.map(self.dataset.__getitem__, idx)))
+                        if pool is not None
+                        else (lambda idx: [self.dataset[i] for i in idx])
+                    )
                     while not stop.is_set():
                         idx = list(itertools.islice(stream, self.batch_size))
                         if len(idx) < self.batch_size and (
                             self.drop_last or not idx
                         ):
                             break
-                        examples = list(
-                            pool.map(self.dataset.__getitem__, idx)
-                        )
-                        if not put_checked(_stack_batch(examples)):
+                        if not put_checked(_stack_batch(fetch(idx))):
                             return
             finally:
                 put_checked(done)
