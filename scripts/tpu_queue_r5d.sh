@@ -1,0 +1,168 @@
+#!/usr/bin/env bash
+# Round-5d queue: compressed for a short (~3h) session on a freshly wiped VM.
+# The full round-5 queue (tpu_queue_r5.sh) assumed the flagship + T=500
+# stages fit; after the VM reset wiped /root/data and /root/exp again, only
+# the 9-room control-intervention chain (VERDICT r4 ask #2) fits this
+# session, so that is what this queue delivers end to end:
+#   1. wait for the in-flight nav_9rooms datagen (2000 trajs, CPU)
+#   2. retrain 9room/gcp_tree (deadline-gated; control uses the achieved
+#      checkpoint via resolve_resume("latest") — NOT hard-gated on ep74)
+#   3. wide-gap inverse-model fine-tune from the ACHIEVED checkpoint
+#   4. start/goal task configs + four 20-task control runs on the same draw
+#      (r5base / widegap / replan / cursor)
+#   5. tail: partial adaptive-DLM train+eval if time remains (ask #5)
+#
+# Chip handoff (VERDICT r4 ask #4): run under setsid; driver_watch2.sh kills
+# the whole process group when driver bench activity appears. Every stage is
+# deadline-gated (QUEUE_DEADLINE, epoch seconds) so the queue drains early.
+set -uo pipefail
+export GCP_DATA_DIR=${GCP_DATA_DIR:-/root/data}
+export GCP_EXP_DIR=${GCP_EXP_DIR:-/root/exp}
+cd "$(dirname "$0")/.."
+R=scripts/run_resilient.sh
+T=video_gcp_tpu.training.train
+RUN=video_gcp_tpu.planning.run
+DEADLINE=${QUEUE_DEADLINE:?r5d requires QUEUE_DEADLINE}
+
+stage() { echo "[queue5d $(date +%H:%M:%S)] $*" >&2; }
+
+left() { echo $(( DEADLINE - $(date +%s) )); }
+
+fits() { # <budget_seconds>
+    if (( $(date +%s) + $1 > DEADLINE )); then
+        stage "SKIP (deadline): stage budget $1s does not fit ($(left)s left)"
+        return 1
+    fi
+    return 0
+}
+
+achieved_ep() { # <weights_dir> -> newest epoch number or -1
+    local dir=$1 achieved=-1 d n
+    for d in "$dir"/weights_ep*; do
+        [ -d "$d" ] || continue
+        n=${d##*weights_ep}
+        case $n in *[!0-9]*) continue;; esac
+        (( n > achieved )) && achieved=$n
+    done
+    echo "$achieved"
+}
+
+# --- 1. wait for the 9-room datagen started at session open ---------------
+if [ -f /tmp/datagen9.pid ]; then
+    DPID=$(cat /tmp/datagen9.pid)
+    if grep -qa "video_gcp_tpu.planning.run" "/proc/$DPID/cmdline" 2>/dev/null; then
+        stage "waiting for nav_9rooms datagen (pid $DPID, $(left)s left)"
+        while kill -0 "$DPID" 2>/dev/null; do
+            # if the deadline nears with training still ahead, stop datagen
+            # early and train on the trajs we have (loader tolerates any
+            # contiguous prefix; the A/B only needs ONE shared predictor)
+            if (( $(date +%s) + 4200 > DEADLINE )); then
+                stage "datagen cut short to preserve training time"
+                kill "$DPID" 2>/dev/null
+                sleep 5
+                break
+            fi
+            sleep 15
+        done
+    fi
+fi
+NTRAJ=$(ls "$GCP_DATA_DIR"/nav_9rooms/traj_*.h5 2>/dev/null | wc -l)
+stage "nav_9rooms has $NTRAJ trajs"
+if [ "$NTRAJ" -lt 300 ]; then
+    stage "ABORT: too few trajectories to train on"
+    exit 1
+fi
+# drop a possibly truncated last file if the writer was killed mid-write
+LAST=$((NTRAJ - 1))
+python - "$GCP_DATA_DIR/nav_9rooms/traj_${LAST}.h5" <<'EOF' || rm -f "$GCP_DATA_DIR/nav_9rooms/traj_${LAST}.h5"
+import sys, h5py
+with h5py.File(sys.argv[1], "r") as f:
+    f["traj0/images"][:1]
+EOF
+
+# --- 2. 9room gcp_tree retrain (shared predictor for all four variants) ---
+TREE_DIR=$GCP_EXP_DIR/prediction/9room/gcp_tree
+if [ ! -d "$TREE_DIR/weights/weights_ep74" ]; then
+    # training deadline: leave >= 3600s for finetune + 4 control runs
+    TD=$(( DEADLINE - 3600 ))
+    MAXTRAIN=$(( $(date +%s) + 4500 ))
+    (( TD > MAXTRAIN )) && TD=$MAXTRAIN
+    if (( TD > $(date +%s) + 300 )); then
+        stage "9room/gcp_tree: training toward 75 epochs (train deadline in $(( TD - $(date +%s) ))s)"
+        GCP_FUSED_GN=0 $R "$TREE_DIR/weights" 2400 20 python -m $T \
+            --path experiments/prediction/9room/gcp_tree --num_epochs 75 \
+            --train_deadline "$TD"
+    fi
+fi
+ACH=$(achieved_ep "$TREE_DIR/weights")
+if [ "$ACH" -lt 0 ]; then
+    stage "ABORT: no gcp_tree checkpoint"
+    exit 1
+fi
+stage "9room/gcp_tree achieved ep$ACH"
+
+# --- 3. wide-gap inverse-model fine-tune from the ACHIEVED checkpoint -----
+WG_DIR=$GCP_EXP_DIR/prediction/9room/gcp_tree_widegap
+if [ ! -d "$WG_DIR/weights/weights_ep9" ] && fits 1500; then
+    stage "inv_mdl wide-gap fine-tune (10 epochs, head-only, base ep$ACH)"
+    $R "$WG_DIR/weights" 1200 4 python scripts/finetune_inv_mdl.py \
+        --path experiments/prediction/9room/gcp_tree_widegap \
+        --base "$TREE_DIR/weights/weights_ep$ACH" --epochs 10
+fi
+
+# --- 4. start/goal configs + four 20-task control runs --------------------
+if [ ! -d "$GCP_DATA_DIR/nav_9rooms/start_goal_configs/raw" ]; then
+    stage "start/goal task configs"
+    GCP_PLATFORM=cpu python -m "$RUN" \
+        experiments/data_gen/nav_9rooms_start_goal/mod_hyper.py
+fi
+
+control_20() { # <variant>
+    local v=$1
+    local log=experiments/control/9room/$v/log
+    if [ ! -f "$log/scores_0to19.pkl" ] || [ ! -f "$log/results_0to19.txt" ]; then
+        stage "control $v: 20 tasks ($(left)s left)"
+        $R "$log" 1800 10 python -m "$RUN" \
+            "experiments/control/9room/$v/mod_hyper.py" \
+            --start_idx 0 --end_idx 19
+        python -m video_gcp_tpu.evaluation.compute_control_perf \
+            --path "$log/scores_0to19.pkl" \
+            || stage "compute_control_perf failed for $v"
+    fi
+}
+
+fits 900 && control_20 gcp_tree_r5base
+[ -d "$WG_DIR/weights/weights_ep9" ] && fits 900 && control_20 gcp_tree_widegap
+fits 900 && control_20 gcp_tree_replan
+fits 900 && control_20 gcp_tree_cursor
+python scripts/control_ab_table.py --logs \
+    experiments/control/9room/gcp_tree_r5base/log \
+    experiments/control/9room/gcp_tree_widegap/log \
+    experiments/control/9room/gcp_tree_replan/log \
+    experiments/control/9room/gcp_tree_cursor/log \
+    > experiments/control/9room/control_ab_r5d.txt 2>&1 \
+    || stage "control_ab_table failed (some variants may be missing)"
+
+# --- 5. tail: 9room top-of-100 eval for the retrained tree + adaptive-DLM -
+if ! ls "$TREE_DIR"/metrics/results_*.txt >/dev/null 2>&1 && fits 1500; then
+    stage "9room/gcp_tree: top-of-100 eval (ep$ACH)"
+    GCP_FUSED_GN=0 $R "$TREE_DIR/metrics" 1500 4 python -m $T \
+        --path experiments/prediction/9room/gcp_tree --metric 1
+    if ls "$TREE_DIR"/metrics/results_*.txt >/dev/null 2>&1; then
+        mkdir -p experiments/prediction/9room/gcp_tree/results_r5
+        suffix=""
+        [ "$ACH" -lt 74 ] && suffix="_ep${ACH}_partial"
+        for f in "$TREE_DIR"/metrics/results_*.txt; do
+            b=$(basename "$f" .txt)
+            cp -f "$f" "experiments/prediction/9room/gcp_tree/results_r5/${b}${suffix}.txt"
+        done
+        python scripts/dump_scalar_trace.py "$TREE_DIR/events" "" \
+            experiments/prediction/9room/gcp_tree/results_r5/scalar_trace.csv \
+            2>/dev/null || stage "scalar trace dump failed"
+    fi
+fi
+if [ "$(left)" -gt 2400 ]; then
+    QUEUE_DEADLINE=$DEADLINE bash scripts/tpu_queue_r5_tail.sh
+fi
+
+stage "queue5d complete ($(left)s before deadline)"
