@@ -56,7 +56,7 @@ if [ -f /tmp/datagen9.pid ]; then
             # if the deadline nears with training still ahead, stop datagen
             # early and train on the trajs we have (loader tolerates any
             # contiguous prefix; the A/B only needs ONE shared predictor)
-            if (( $(date +%s) + 4200 > DEADLINE )); then
+            if (( $(date +%s) + 6600 > DEADLINE )); then
                 stage "datagen cut short to preserve training time"
                 kill "$DPID" 2>/dev/null
                 sleep 5
@@ -83,9 +83,11 @@ EOF
 # --- 2. 9room gcp_tree retrain (shared predictor for all four variants) ---
 TREE_DIR=$GCP_EXP_DIR/prediction/9room/gcp_tree
 if [ ! -d "$TREE_DIR/weights/weights_ep74" ]; then
-    # training deadline: leave >= 3600s for finetune + 4 control runs
-    TD=$(( DEADLINE - 3600 ))
-    MAXTRAIN=$(( $(date +%s) + 4500 ))
+    # training deadline: the control A/B window is the scarce resource this
+    # session (r4b measured ~2.2 min/task incl. load); cap training at 35 min
+    # (~30 epochs) and always leave >= 75 min for finetune + control runs
+    TD=$(( DEADLINE - 4500 ))
+    MAXTRAIN=$(( $(date +%s) + 2100 ))
     (( TD > MAXTRAIN )) && TD=$MAXTRAIN
     if (( TD > $(date +%s) + 300 )); then
         stage "9room/gcp_tree: training toward 75 epochs (train deadline in $(( TD - $(date +%s) ))s)"
@@ -103,11 +105,11 @@ stage "9room/gcp_tree achieved ep$ACH"
 
 # --- 3. wide-gap inverse-model fine-tune from the ACHIEVED checkpoint -----
 WG_DIR=$GCP_EXP_DIR/prediction/9room/gcp_tree_widegap
-if [ ! -d "$WG_DIR/weights/weights_ep9" ] && fits 1500; then
-    stage "inv_mdl wide-gap fine-tune (10 epochs, head-only, base ep$ACH)"
+if [ ! -d "$WG_DIR/weights/weights_ep7" ] && fits 1000; then
+    stage "inv_mdl wide-gap fine-tune (8 epochs, head-only, base ep$ACH)"
     $R "$WG_DIR/weights" 1200 4 python scripts/finetune_inv_mdl.py \
         --path experiments/prediction/9room/gcp_tree_widegap \
-        --base "$TREE_DIR/weights/weights_ep$ACH" --epochs 10
+        --base "$TREE_DIR/weights/weights_ep$ACH" --epochs 8
 fi
 
 # --- 4. start/goal configs + four 20-task control runs --------------------
@@ -117,31 +119,38 @@ if [ ! -d "$GCP_DATA_DIR/nav_9rooms/start_goal_configs/raw" ]; then
         experiments/data_gen/nav_9rooms_start_goal/mod_hyper.py
 fi
 
-control_20() { # <variant>
+# 10 tasks per variant: paired per-task comparison on one shared draw is the
+# valid statistic at this n (control_ab_table.py); run in value order so the
+# deadline sheds the least-novel variant (replan) first.
+control_10() { # <variant>
     local v=$1
     local log=experiments/control/9room/$v/log
-    if [ ! -f "$log/scores_0to19.pkl" ] || [ ! -f "$log/results_0to19.txt" ]; then
-        stage "control $v: 20 tasks ($(left)s left)"
+    if [ ! -f "$log/scores_0to9.pkl" ]; then
+        stage "control $v: 10 tasks ($(left)s left)"
         $R "$log" 1800 10 python -m "$RUN" \
             "experiments/control/9room/$v/mod_hyper.py" \
-            --start_idx 0 --end_idx 19
+            --start_idx 0 --end_idx 9
         python -m video_gcp_tpu.evaluation.compute_control_perf \
-            --path "$log/scores_0to19.pkl" \
+            --path "$log/scores_0to9.pkl" \
             || stage "compute_control_perf failed for $v"
     fi
 }
 
-fits 900 && control_20 gcp_tree_r5base
-[ -d "$WG_DIR/weights/weights_ep9" ] && fits 900 && control_20 gcp_tree_widegap
-fits 900 && control_20 gcp_tree_replan
-fits 900 && control_20 gcp_tree_cursor
-python scripts/control_ab_table.py --logs \
-    experiments/control/9room/gcp_tree_r5base/log \
-    experiments/control/9room/gcp_tree_widegap/log \
-    experiments/control/9room/gcp_tree_replan/log \
-    experiments/control/9room/gcp_tree_cursor/log \
-    > experiments/control/9room/control_ab_r5d.txt 2>&1 \
-    || stage "control_ab_table failed (some variants may be missing)"
+fits 1200 && control_10 gcp_tree_r5base
+fits 1100 && control_10 gcp_tree_cursor
+[ -d "$WG_DIR/weights/weights_ep7" ] && fits 1100 && control_10 gcp_tree_widegap
+fits 1100 && control_10 gcp_tree_replan
+TBL_LOGS=()
+for v in gcp_tree_r5base gcp_tree_cursor gcp_tree_widegap gcp_tree_replan; do
+    [ -f "experiments/control/9room/$v/log/scores_0to9.pkl" ] \
+        && TBL_LOGS+=("experiments/control/9room/$v/log")
+done
+if [ "${#TBL_LOGS[@]}" -ge 2 ]; then
+    python scripts/control_ab_table.py --pkl scores_0to9.pkl \
+        --logs "${TBL_LOGS[@]}" \
+        > experiments/control/9room/control_ab_r5d.txt 2>&1 \
+        || stage "control_ab_table failed"
+fi
 
 # --- 5. tail: 9room top-of-100 eval for the retrained tree + adaptive-DLM -
 if ! ls "$TREE_DIR"/metrics/results_*.txt >/dev/null 2>&1 && fits 1500; then
