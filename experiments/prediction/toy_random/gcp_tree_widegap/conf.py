@@ -1,20 +1,17 @@
-"""Toy fixture for the wide-gap inverse-model fine-tune path
-(scripts/finetune_inv_mdl.py): ../gcp_tree/conf.py with
-inv_mdl_params.temp_dist=5. Used by tests and CPU verification drives."""
-import importlib.util
-import os.path
+"""Toy widegap fixture: toy_random/gcp_tree with a wide-gap inverse model.
 
+CPU-runnable micro-config used to smoke-test scripts/finetune_inv_mdl.py
+(the head-only inverse-model fine-tune behind control intervention A) before
+it runs against a real checkpoint. Mirrors the relationship between
+experiments/prediction/9room/gcp_tree_widegap and its baseline: identical
+model, only `inv_mdl_params.temp_dist` differs.
+"""
 from video_gcp_tpu.core.attrdict import AttrDict
+from experiments.prediction.toy_random.gcp_tree import conf as base
 
-_base_path = os.path.join(os.path.dirname(os.path.realpath(__file__)),
-                          "..", "gcp_tree", "conf.py")
-_spec = importlib.util.spec_from_file_location("toy_gcp_tree_conf", _base_path)
-_base = importlib.util.module_from_spec(_spec)
-_spec.loader.exec_module(_base)
-
-configuration = AttrDict(_base.configuration)
-data_config = AttrDict(_base.data_config)
-
-model_config = AttrDict(_base.model_config)
-model_config.inv_mdl_params = AttrDict(model_config.inv_mdl_params)
-model_config.inv_mdl_params.temp_dist = 5
+configuration = AttrDict(base.configuration)
+data_config = base.data_config
+model_config = AttrDict(base.model_config)
+model_config.update({
+    'inv_mdl_params': AttrDict(n_actions=2, temp_dist=5),
+})
