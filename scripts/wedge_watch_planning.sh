@@ -35,7 +35,7 @@ while :; do
     [ "$DEADLINE" != "0" ] && (( now > DEADLINE )) && { log "deadline — exiting"; exit 0; }
     for p in /proc/[0-9]*/cmdline; do
         pid=${p#/proc/}; pid=${pid%/cmdline}
-        cmd=$(tr '\0' ' ' < "$p" 2>/dev/null) || continue
+        cmd=$({ tr '\0' ' ' < "$p"; } 2>/dev/null) || continue
         case $cmd in
             python*video_gcp_tpu.planning.run*mod_hyper.py*) ;;
             *) continue ;;
