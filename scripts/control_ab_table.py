@@ -13,7 +13,12 @@ Usage:
   python scripts/control_ab_table.py \
       --logs experiments/control/9room/gcp_tree_r5base/log \
              experiments/control/9room/gcp_tree_widegap/log ... \
-      [--pkl scores_0to19.pkl] [--max_seq_len 200]
+      [--pkl scores_0to9.pkl scores_10to19.pkl ...] [--max_seq_len 200]
+
+`--pkl` takes one or more chunk file names (resumable control runs write one
+scores_{a}to{b}.pkl per index range); chunks are merged in task order. Only
+chunks present in EVERY log dir are used, so the paired statistics always
+compare identical task sets.
 """
 import argparse
 import os
@@ -43,19 +48,48 @@ def per_task(data, n_rooms, max_seq_len):
     return np.asarray(succ), np.asarray(r2g)
 
 
+def _chunk_start(name):
+    # scores_{a}to{b}.pkl -> a (sort key for task-order concatenation)
+    stem = os.path.basename(name).replace("scores_", "").split("to")[0]
+    return int(stem)
+
+
+def _load_merged(log, pkls):
+    """Concatenate chunk pkls in task order (lists extend, arrays concat)."""
+    merged = {}
+    for pkl in sorted(pkls, key=_chunk_start):
+        with open(os.path.join(log, pkl), "rb") as f:
+            data = pickle.load(f)
+        for k, v in data.items():
+            if k not in merged:
+                merged[k] = list(v)
+            else:
+                merged[k].extend(list(v))
+    # lists suffice for every consumer here (per_task/compute_control_perf
+    # index full_traj/reset_state element-wise)
+    return merged
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--logs", nargs="+", required=True)
-    p.add_argument("--pkl", default="scores_0to19.pkl")
+    p.add_argument("--pkl", nargs="+", default=["scores_0to19.pkl"])
     p.add_argument("--n_rooms", default=9, type=int)
     p.add_argument("--max_seq_len", default=200, type=int)
     args = p.parse_args()
 
+    # keep only chunks every log dir has: paired stats need identical tasks
+    shared = [pkl for pkl in args.pkl
+              if all(os.path.isfile(os.path.join(log, pkl))
+                     for log in args.logs)]
+    dropped = sorted(set(args.pkl) - set(shared))
+    if dropped:
+        print(f"(dropped chunks missing from some log dir: {dropped})")
+
     rows, tasks = [], {}
     for log in args.logs:
         name = os.path.basename(os.path.dirname(os.path.abspath(log)))
-        with open(os.path.join(log, args.pkl), "rb") as f:
-            data = pickle.load(f)
+        data = _load_merged(log, shared)
         agg = compute_control_perf(data, n_rooms=args.n_rooms,
                                    max_seq_len=args.max_seq_len)
         succ, r2g = per_task(data, args.n_rooms, args.max_seq_len)
