@@ -52,6 +52,15 @@ for attempt in $(seq 1 "$MAX_ATTEMPTS"); do
         exit 0
     fi
     echo "[run_resilient] attempt $attempt exited rc=$RC" >&2
+    # A killed attempt (ours or a wedge watcher's) can leave the remote TPU
+    # service mid-dispatch; an instant respawn then wedges on backend init
+    # waiting for a reply that never comes (observed r5e: two successive
+    # zero-CPU attempts after one kill; a ~2.5 min quiet window + fresh
+    # client recovered). Give the tunnel a cool-down before retrying.
+    if [ "$RC" != "0" ] && { [ "$RC" = "99" ] || [ "$RC" -ge 128 ] 2>/dev/null; }; then
+        echo "[run_resilient] cool-down 120s before next attempt" >&2
+        sleep 120
+    fi
 done
 echo "[run_resilient] giving up after $MAX_ATTEMPTS attempts" >&2
 exit 1
